@@ -1,0 +1,249 @@
+package graft
+
+import graft.synth.PageSynth
+import graft.checks.{Conformance, Drift}
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[SparkEntry]].
+  *
+  * Every oracle starts from the same deterministic page-table CTE
+  * ([[PageSynth.duckCte]]) so the oracle validates the *whole* pipeline:
+  * synthesis + check semantics. Column names and physical types
+  * (BIGINT/DOUBLE/VARCHAR/BOOLEAN) are kept identical to the Spark
+  * outputs because the driver hash-compares values under sorted column
+  * names.
+  */
+object OracleSql {
+
+  private val cte = PageSynth.duckCte
+  private val hostRe = "^https?://([^/?]+)"
+  private val hostExpr = s"regexp_extract(url, '$hostRe', 1)"
+
+  /** (id, kind, applicableSql, badSql, detailSql, threshold) — DuckDB
+    * renderings of [[Conformance.preds]], kept in lockstep by the
+    * oracle-parity harness (tools/oracle_check.py).
+    */
+  val predsDuck: Seq[(String, String, String, String, String, Double)] = Seq(
+    ("stats_null_ratio.url", "MissingValue", "TRUE", "url IS NULL", "'url is null'", 0.999),
+    ("stats_null_ratio.warc_ts", "MissingValue", "TRUE", "warc_epoch IS NULL", "'warc_ts is null'", 0.99),
+    ("stats_null_ratio.html", "MissingValue", "TRUE", "html IS NULL", "'html is null'", 0.99),
+    ("stats_null_ratio.text", "MissingValue", "TRUE", "text IS NULL OR length(text) = 0", "'text is null or empty'", 0.99),
+    ("stats_null_ratio.lang", "MissingValue", "TRUE", "lang IS NULL", "'lang is null'", 0.99),
+    ("conform_url", "MalformedURI", "url IS NOT NULL",
+      s"NOT regexp_matches(url, '${Conformance.UrlRegex}')", "url", 0.99),
+    ("conform_lang", "IncorrectLanguageTag", "lang IS NOT NULL",
+      s"NOT regexp_matches(lang, '${Conformance.LangRegex}')", "lang", 0.99),
+    ("conform_ts", "OutOfRangeTimestamp", "warc_epoch IS NOT NULL",
+      s"warc_epoch < ${PageSynth.TsMin} OR warc_epoch >= ${PageSynth.TsMax}",
+      "cast(warc_epoch as varchar)", 0.99),
+    ("conform_url_style", "ParametarisedURI",
+      s"url IS NOT NULL AND regexp_matches(url, '${Conformance.UrlRegex}')",
+      s"length(url) > ${Conformance.MaxUrlLen} OR strpos(url, '?') > 0", "url", 0.99)
+  )
+
+  val pagesDump: String =
+    s"$cte SELECT doc_id, url, warc_epoch, pday, html, text, lang, host_id, host FROM pages ORDER BY doc_id"
+
+  val fusedResults: String = {
+    val parts = predsDuck.map { case (id, _, app, bad, _, thr) =>
+      s"""SELECT '$id' AS check_id, pday,
+         | CAST(sum(CASE WHEN $app THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN ($app) AND ($bad) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         | CAST($thr AS DOUBLE) AS threshold
+         |FROM pages GROUP BY pday""".stripMargin
+    }
+    s"""$cte, per AS (${parts.mkString("\nUNION ALL\n")})
+       |SELECT check_id, pday, n_rows, violations, value, value >= threshold AS pass FROM (
+       |  SELECT check_id, pday, n_rows, violations, threshold,
+       |    CASE WHEN n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS value
+       |  FROM per) t
+       |ORDER BY check_id, pday""".stripMargin
+  }
+
+  val fusedViolations: String = {
+    val parts = predsDuck.map { case (id, kind, app, bad, detail, _) =>
+      s"""SELECT '$id' AS check_id, '$kind' AS kind, pday,
+         | coalesce(url, 'null') AS url, coalesce(CAST($detail AS VARCHAR), 'null') AS detail
+         |FROM pages WHERE ($app) AND ($bad)""".stripMargin
+    }
+    s"""$cte SELECT * FROM (${parts.mkString("\nUNION ALL\n")}) v
+       |ORDER BY check_id, url, pday, detail""".stripMargin
+  }
+
+  val statsMinMax: String =
+    s"""$cte SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(min(warc_epoch) AS BIGINT) AS min_epoch,
+       | CAST(max(warc_epoch) AS BIGINT) AS max_epoch,
+       | CAST(min(length(text)) AS BIGINT) AS min_text_len,
+       | CAST(max(length(text)) AS BIGINT) AS max_text_len,
+       | CAST(min(length(url)) AS BIGINT) AS min_url_len,
+       | CAST(max(length(url)) AS BIGINT) AS max_url_len
+       |FROM pages GROUP BY pday ORDER BY pday""".stripMargin
+
+  val statsDistinct: String =
+    s"""$cte SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(count(DISTINCT url) AS BIGINT) AS distinct_url,
+       | CAST(count(DISTINCT lang) AS BIGINT) AS distinct_lang,
+       | CAST(count(DISTINCT CASE WHEN $hostExpr <> '' THEN $hostExpr END) AS BIGINT) AS distinct_host
+       |FROM pages GROUP BY pday ORDER BY pday""".stripMargin
+
+  val uniqueUrl: String =
+    s"""$cte, g AS (SELECT url, count(*) AS n FROM pages GROUP BY url)
+       |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       | CAST(count(*) AS BIGINT) AS distinct_urls,
+       | CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_urls,
+       | CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_rows,
+       | CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS value
+       |FROM g""".stripMargin
+
+  val uniqueUrlGroups: String =
+    s"""$cte SELECT url, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(count(DISTINCT pday) AS BIGINT) AS n_days
+       |FROM pages GROUP BY url HAVING count(*) > 1 ORDER BY url""".stripMargin
+
+  val dupTextGroups: String =
+    s"""$cte SELECT sha256(text) AS text_sha, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(count(DISTINCT url) AS BIGINT) AS n_urls, min(url) AS min_url
+       |FROM pages WHERE text IS NOT NULL AND length(text) > 0
+       |GROUP BY sha256(text) HAVING count(*) > 1 ORDER BY text_sha""".stripMargin
+
+  val latestSnapshot: String =
+    s"""$cte SELECT url, CAST(warc_epoch AS BIGINT) AS warc_epoch FROM (
+       | SELECT url, warc_epoch,
+       |   row_number() OVER (PARTITION BY url ORDER BY warc_epoch DESC NULLS LAST) AS rn
+       | FROM pages) t WHERE rn = 1 ORDER BY url""".stripMargin
+
+  private def refDayOracle(factCte: String, dimSql: String, threshold: Double): String =
+    s"""$cte, dim AS ($dimSql), wh AS ($factCte)
+       |SELECT pday, n_rows, violations, value, value >= $threshold AS pass FROM (
+       |  SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN dim.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |    1.0 - CAST(sum(CASE WHEN dim.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+       |  FROM wh LEFT JOIN dim ON wh.k = dim.k GROUP BY pday) t
+       |ORDER BY pday""".stripMargin
+
+  val refHostDay: String = refDayOracle(
+    s"SELECT pday, $hostExpr AS k FROM pages WHERE $hostExpr <> ''",
+    s"SELECT host AS k FROM (${PageSynth.hostDimDuck}) d", 0.99)
+
+  val refHostUnknown: String =
+    s"""$cte, dim AS (${PageSynth.hostDimDuck})
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url FROM (
+       |  SELECT url, $hostExpr AS host FROM pages WHERE $hostExpr <> '') p
+       |WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.host = p.host)
+       |GROUP BY host ORDER BY host""".stripMargin
+
+  val refLangDay: String = refDayOracle(
+    s"SELECT pday, lang AS k FROM pages WHERE lang IS NOT NULL AND regexp_matches(lang, '${Conformance.LangRegex}')",
+    s"SELECT lang AS k FROM (${PageSynth.langDimDuck}) d", 0.98)
+
+  val refLangUnknown: String =
+    s"""$cte, dim AS (${PageSynth.langDimDuck})
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url
+       |FROM pages p
+       |WHERE lang IS NOT NULL AND regexp_matches(lang, '${Conformance.LangRegex}')
+       |  AND NOT EXISTS (SELECT 1 FROM dim WHERE dim.lang = p.lang)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val driftWindow =
+    s"pday >= '${Drift.WindowLo}' AND pday < '${Drift.WindowHi}'"
+  private val sideExpr =
+    s"CASE WHEN pday >= '${Drift.SplitDay}' THEN 'cur' ELSE 'base' END"
+
+  val driftLangHist: String =
+    s"""$cte SELECT $sideExpr AS side, coalesce(lang, 'null') AS bin,
+       | CAST(count(*) AS BIGINT) AS n
+       |FROM pages WHERE $driftWindow GROUP BY 1, 2 ORDER BY side, bin""".stripMargin
+
+  private def driftHists(binExpr: String): String =
+    s"""w AS (SELECT $sideExpr AS side, $binExpr AS bin FROM pages WHERE $driftWindow),
+       |h AS (SELECT side, bin, count(*) AS n FROM w GROUP BY side, bin),
+       |b AS (SELECT DISTINCT bin FROM h),
+       |j AS (SELECT b.bin,
+       |  coalesce((SELECT n FROM h WHERE h.side = 'base' AND h.bin = b.bin), 0) AS cb,
+       |  coalesce((SELECT n FROM h WHERE h.side = 'cur' AND h.bin = b.bin), 0) AS cc FROM b),
+       |t AS (SELECT CAST(sum(cb) AS DOUBLE) AS tb, CAST(sum(cc) AS DOUBLE) AS tc,
+       |  CAST(count(*) AS DOUBLE) AS k,
+       |  CAST(sum(cb) AS BIGINT) AS base_rows, CAST(sum(cc) AS BIGINT) AS cur_rows,
+       |  CAST(count(*) AS BIGINT) AS bins FROM j)""".stripMargin
+
+  val driftLangPsi: String =
+    s"""$cte, ${driftHists("coalesce(lang, 'null')")},
+       |v AS (SELECT sum(
+       |   ((CAST(cc AS DOUBLE) + 0.5) / (t.tc + 0.5 * t.k) - (CAST(cb AS DOUBLE) + 0.5) / (t.tb + 0.5 * t.k))
+       |   * ln(((CAST(cc AS DOUBLE) + 0.5) / (t.tc + 0.5 * t.k)) / ((CAST(cb AS DOUBLE) + 0.5) / (t.tb + 0.5 * t.k)))
+       | ) AS s FROM j, t)
+       |SELECT 'drift_lang_psi' AS check_id, 'psi' AS stat, t.base_rows, t.cur_rows, t.bins,
+       | round(v.s, 6) AS value, v.s <= ${Drift.PsiThreshold} AS pass FROM t, v""".stripMargin
+
+  private val hourBin =
+    "lpad(cast(CAST(floor((warc_epoch % 86400) / 3600.0) AS INT) as varchar), 2, '0')"
+
+  val driftHourKs: String =
+    s"""$cte, ${driftHists(hourBin)},
+       |c AS (SELECT bin, sum(cb) OVER (ORDER BY bin) AS ab, sum(cc) OVER (ORDER BY bin) AS ac FROM j),
+       |v AS (SELECT max(abs(CAST(ab AS DOUBLE) / t.tb - CAST(ac AS DOUBLE) / t.tc)) AS s FROM c, t)
+       |SELECT 'drift_hour_ks' AS check_id, 'ks' AS stat, t.base_rows, t.cur_rows, t.bins,
+       | round(v.s, 6) AS value, v.s <= ${Drift.KsThreshold} AS pass FROM t, v""".stripMargin
+
+  private val u256 = graft.checks.Sampling.U256Sql
+
+  val sampleUniform: String =
+    s"""$cte SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(sum(CASE WHEN $u256 < 51 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+       | CAST(sum(CASE WHEN $u256 < 51 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac
+       |FROM pages""".stripMargin
+
+  val sampleStratifiedAlloc: String =
+    s"""$cte, wh AS (SELECT url, warc_epoch, $hostExpr AS host FROM pages WHERE $hostExpr <> ''),
+       |r AS (SELECT host,
+       |  row_number() OVER (PARTITION BY host ORDER BY md5(url), url, coalesce(warc_epoch, -1)) AS rnk,
+       |  count(*) OVER (PARTITION BY host) AS stratum_rows FROM wh)
+       |SELECT host, CAST(max(stratum_rows) AS BIGINT) AS stratum_rows,
+       | CAST(sum(CASE WHEN rnk <= least(25, CAST(floor((stratum_rows + 4) / 5.0) AS BIGINT)) THEN 1 ELSE 0 END) AS BIGINT) AS sample_rows
+       |FROM r GROUP BY host ORDER BY host""".stripMargin
+
+  /** substr-based text extraction from decoded html; must mirror
+    * graft.multimodal.Multimodal.extractText exactly.
+    */
+  private val extractTextDuck =
+    "substr(decode(html), 31, greatest(0, length(decode(html)) - 48))"
+
+  val mmHtmlMeta: String =
+    s"""$cte SELECT pday, CAST(count(*) AS BIGINT) AS n_pages,
+       | CAST(count(html) AS BIGINT) AS n_html,
+       | CAST(coalesce(sum(octet_length(html)), 0) AS BIGINT) AS total_bytes,
+       | CAST(sum(CASE WHEN html IS NOT NULL AND $extractTextDuck = text THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+       |FROM pages GROUP BY pday ORDER BY pday""".stripMargin
+
+  val mmHtmlDigests: String =
+    s"""$cte SELECT url, sha256(decode(html)) AS html_sha,
+       | CAST(octet_length(html) AS BIGINT) AS n_bytes,
+       | CASE WHEN decode(html) LIKE '<!DOCTYPE html>%' THEN 'text/html'
+       |      ELSE 'application/octet-stream' END AS sniffed_type
+       |FROM pages WHERE html IS NOT NULL ORDER BY url""".stripMargin
+
+  /** All oracles, keyed by query name. */
+  val all: Map[String, String] = Map(
+    "mm_html_meta" -> mmHtmlMeta,
+    "mm_html_digests" -> mmHtmlDigests,
+    "pages_dump" -> pagesDump,
+    "fused_results" -> fusedResults,
+    "fused_violations" -> fusedViolations,
+    "stats_minmax" -> statsMinMax,
+    "stats_distinct" -> statsDistinct,
+    "unique_url" -> uniqueUrl,
+    "unique_url_groups" -> uniqueUrlGroups,
+    "dup_text_groups" -> dupTextGroups,
+    "latest_snapshot" -> latestSnapshot,
+    "ref_host_day" -> refHostDay,
+    "ref_host_unknown" -> refHostUnknown,
+    "ref_lang_day" -> refLangDay,
+    "ref_lang_unknown" -> refLangUnknown,
+    "drift_lang_hist" -> driftLangHist,
+    "drift_lang_psi" -> driftLangPsi,
+    "drift_hour_ks" -> driftHourKs,
+    "sample_uniform" -> sampleUniform,
+    "sample_stratified_alloc" -> sampleStratifiedAlloc
+  )
+}

@@ -1,13 +1,69 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.checks._
+import graft.synth.PageSynth
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query derives the deterministic page table from
+  * `<sfDir>/documents.parquet` via [[PageSynth]] and runs one check of
+  * the metricsspark validation engine over it; the matching DuckDB SQL
+  * in [[OracleSql]] recomputes the same result independently.
+  */
 object SparkEntry {
+
+  private def pages(s: SparkSession, dir: String): DataFrame =
+    PageSynth.pages(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    FusedChecks.resultsByDay(pages(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // whole-pipeline synthesis parity (validates every derived column,
+    // including the html byte payload, against the DuckDB rendering)
+    "pages_dump" -> ((s, dir) =>
+      PageSynth.pagesWithMeta(s, dir)
+        .select("doc_id", "url", "warc_epoch", "pday", "html", "text", "lang", "host_id", "host")
+        .orderBy("doc_id")),
+    // fused completeness + conformance family (one scan)
+    "fused_results" -> ((s, dir) => FusedChecks.resultsByDay(pages(s, dir))),
+    "fused_violations" -> ((s, dir) => FusedChecks.violations(pages(s, dir))),
+    // column stats
+    "stats_minmax" -> ((s, dir) => Stats.minMaxByDay(pages(s, dir))),
+    "stats_distinct" -> ((s, dir) => Stats.distinctByDay(pages(s, dir))),
+    "stats_approx_distinct" -> ((s, dir) => Stats.approxDistinct(pages(s, dir))),
+    // uniqueness / duplicates
+    "unique_url" -> ((s, dir) => Uniqueness.urlUniqueness(pages(s, dir))),
+    "unique_url_groups" -> ((s, dir) => Uniqueness.duplicateUrls(pages(s, dir))),
+    "dup_text_groups" -> ((s, dir) => Uniqueness.duplicateTexts(pages(s, dir))),
+    "latest_snapshot" -> ((s, dir) => Uniqueness.latestSnapshot(pages(s, dir))),
+    // referential vs dimension snapshots
+    "ref_host_day" -> ((s, dir) =>
+      Referential.hostCheckByDay(pages(s, dir), PageSynth.hostDim(s))),
+    "ref_host_unknown" -> ((s, dir) =>
+      Referential.unknownHosts(pages(s, dir), PageSynth.hostDim(s))),
+    "ref_lang_day" -> ((s, dir) =>
+      Referential.langCheckByDay(pages(s, dir), PageSynth.langDim(s))),
+    "ref_lang_unknown" -> ((s, dir) =>
+      Referential.unknownLangs(pages(s, dir), PageSynth.langDim(s))),
+    // distribution drift (typed-Aggregator histograms + KS/PSI)
+    "drift_lang_hist" -> ((s, dir) => Drift.langHistogram(pages(s, dir))),
+    "drift_lang_psi" -> ((s, dir) => Drift.langPsi(pages(s, dir))),
+    "drift_hour_ks" -> ((s, dir) => Drift.hourKs(pages(s, dir))),
+    // deterministic sampling
+    "sample_uniform" -> ((s, dir) => Sampling.uniformSampleStats(pages(s, dir))),
+    "sample_stratified_alloc" -> ((s, dir) => Sampling.stratifiedAllocation(pages(s, dir))),
+    // multimodal binary-column plumbing + byte-identity invariant
+    "mm_html_meta" -> ((s, dir) => graft.multimodal.Multimodal.htmlMeta(pages(s, dir))),
+    "mm_html_digests" -> ((s, dir) => graft.multimodal.Multimodal.htmlDigests(pages(s, dir)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    OracleSql.all - "stats_approx_distinct" // HLL++ values are engine-specific
 }

@@ -1,0 +1,142 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.ViolationKind
+import graft.synth.PageSynth
+
+/** A predicate-style check: over the rows where `applicable`, count the
+  * rows where `bad`. value = 1 - bad/applicable (NaN → 1.0, mirroring
+  * the reference's CompatibleDatatype NaN → 1.0 finalization,
+  * intrinsic/.../CompatibleDatatype.java:84-92).
+  *
+  * All predicate checks are **fused into one scan** by [[FusedChecks]]:
+  * a single `groupBy(pday)` with 2×N conditional-count aggregates, and a
+  * single violation pass that emits an array of failing-check structs
+  * per row and explodes it. At 100 TB this means the page table is read
+  * once for the whole conformance/completeness family, not once per
+  * check (the reference similarly folds all metrics over one stream).
+  */
+final case class Pred(
+    id: String,
+    kind: String,
+    applicable: Column,
+    bad: Column,
+    detail: Column,
+    threshold: Double)
+
+object Conformance {
+
+  /** RFC-3986-lite absolute http(s) URL. RE2-compatible (no backrefs)
+    * so Spark `rlike` and DuckDB `regexp_matches` agree.
+    * Reference analog: UrlValidator gate in
+    * accessibility/.../HTTPRetriever.java:519-522.
+    */
+  val UrlRegex = "^https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?$"
+
+  /** BCP-47-lite language tag. Reference analog: declared-tag syntax gate
+    * in intrinsic/.../CorrectLanguageTag.java:72-115.
+    */
+  val LangRegex = "^[a-zA-Z]{2,3}(-[A-Za-z0-9]{1,8})*$"
+
+  /** Long/parametarised URI thresholds — reference values from
+    * representational/.../ShortURIs.java:80-93 (`length>80`, contains '?').
+    */
+  val MaxUrlLen = 80
+
+  private val urlOk = col("url").isNotNull && col("url").rlike(UrlRegex)
+
+  /** The fused predicate-check bank. */
+  val preds: Seq[Pred] = Seq(
+    // — completeness family (null/empty ratios; refs #3 #19 #22 #25 #26) —
+    Pred("stats_null_ratio.url", ViolationKind.MissingValue,
+      lit(true), col("url").isNull, lit("url is null"), 0.999),
+    Pred("stats_null_ratio.warc_ts", ViolationKind.MissingValue,
+      lit(true), col("warc_ts").isNull, lit("warc_ts is null"), 0.99),
+    Pred("stats_null_ratio.html", ViolationKind.MissingValue,
+      lit(true), col("html").isNull, lit("html is null"), 0.99),
+    Pred("stats_null_ratio.text", ViolationKind.MissingValue,
+      lit(true), col("text").isNull || length(col("text")) === 0,
+      lit("text is null or empty"), 0.99),
+    Pred("stats_null_ratio.lang", ViolationKind.MissingValue,
+      lit(true), col("lang").isNull, lit("lang is null"), 0.99),
+    // — syntactic validity family (refs #4 #5 #27) —
+    Pred("conform_url", ViolationKind.MalformedUri,
+      col("url").isNotNull, !col("url").rlike(UrlRegex), col("url"), 0.99),
+    Pred("conform_lang", ViolationKind.BadLanguageTag,
+      col("lang").isNotNull, !col("lang").rlike(LangRegex), col("lang"), 0.99),
+    Pred("conform_ts", ViolationKind.OutOfRange,
+      col("warc_ts").isNotNull,
+      col("warc_ts").cast("long") < PageSynth.TsMin ||
+        col("warc_ts").cast("long") >= PageSynth.TsMax,
+      col("warc_ts").cast("long").cast("string"), 0.99),
+    // — URI style family (refs #15 ShortURIs, #16 NoProlixRDF, #37 regex banks) —
+    Pred("conform_url_style", ViolationKind.ParametarisedUri,
+      urlOk,
+      length(col("url")) > MaxUrlLen || col("url").contains("?"),
+      col("url"), 0.99)
+  )
+
+  def byId(id: String): Pred = preds.find(_.id == id).get
+}
+
+object FusedChecks {
+
+  /** Partition-day key: `yyyy-MM-dd` of warc_ts, `'null'` when absent.
+    * (Session timezone is pinned to UTC so this is deterministic.)
+    */
+  val pday: Column = coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"), lit("null"))
+
+  /** All predicate checks in ONE scan: per-pday CheckResult rows.
+    * Output schema: (check_id, pday, rows, violations, value, pass),
+    * sorted for determinism.
+    */
+  def resultsByDay(pages: DataFrame, preds: Seq[Pred] = Conformance.preds): DataFrame = {
+    // '.' in a check id would read as struct-field access in col()
+    def safe(id: String): String = id.replace('.', '_')
+    val aggs = preds.flatMap { p =>
+      Seq(
+        sum(when(p.applicable, 1L).otherwise(0L)).as(s"${safe(p.id)}__n_rows"),
+        sum(when(p.applicable && p.bad, 1L).otherwise(0L)).as(s"${safe(p.id)}__bad"))
+    }
+    val wide = pages.withColumn("pday", pday)
+      .groupBy(col("pday"))
+      .agg(aggs.head, aggs.tail: _*)
+    // wide → long: one struct per check, exploded
+    val perCheck = preds.map { p =>
+      struct(
+        lit(p.id).as("check_id"),
+        col(s"${safe(p.id)}__n_rows").as("n_rows"),
+        col(s"${safe(p.id)}__bad").as("violations"),
+        lit(p.threshold).as("threshold"))
+    }
+    wide.select(col("pday"), explode(array(perCheck: _*)).as("c"))
+      .select(
+        col("c.check_id"), col("pday"), col("c.n_rows"), col("c.violations"),
+        when(col("c.n_rows") === 0, 1.0)
+          .otherwise(lit(1.0) - col("c.violations").cast("double") / col("c.n_rows").cast("double"))
+          .as("value"),
+        col("c.threshold"))
+      .withColumn("pass", col("value") >= col("threshold"))
+      .drop("threshold")
+      .orderBy("check_id", "pday")
+  }
+
+  /** All predicate-check violations in ONE scan. */
+  def violations(pages: DataFrame, preds: Seq[Pred] = Conformance.preds): DataFrame = {
+    val structs = preds.map { p =>
+      when(p.applicable && p.bad,
+        struct(lit(p.id).as("check_id"), lit(p.kind).as("kind"),
+          coalesce(p.detail.cast("string"), lit("null")).as("detail")))
+        .otherwise(lit(null))
+    }
+    pages.withColumn("pday", pday)
+      .select(col("pday"), col("url"),
+        filter(array(structs: _*), c => c.isNotNull).as("fails"))
+      .where(size(col("fails")) > 0)
+      .select(explode(col("fails")).as("f"), col("pday"), col("url"))
+      .select(col("f.check_id"), col("f.kind"), col("pday"),
+        coalesce(col("url"), lit("null")).as("url"), col("f.detail"))
+      .orderBy("check_id", "url", "pday", "detail")
+  }
+}

@@ -1,0 +1,167 @@
+package graft.synth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthesis of the Common-Crawl-style page table
+  * `(url, warc_ts, html, text, lang)` (BASELINE.json `input_hint`) from
+  * the driver-provided `documents` parquet.
+  *
+  * Design constraints:
+  *   - **Pure integer / string arithmetic** on `doc_id` — no RNG, no
+  *     floats, no timezone-dependent ops — so the exact same table is
+  *     derivable in both Spark SQL and DuckDB SQL. One template,
+  *     rendered per dialect ([[pagesSelect]]), keeps the two in
+  *     lockstep; every downstream check therefore has a DuckDB oracle.
+  *   - **Zipf-ish host skew** (4 hosts own 90% of pages, a 97-host tail
+  *     owns the rest) to exercise the salting / stratified-sampling
+  *     paths the reference needed for skewed TLDs (reference:
+  *     accessibility/.../EstimatedDereferenceabilityByStratified.java:152-173).
+  *   - **Controlled defect rates** via prime moduli of `doc_id`, the
+  *     analog of the reference fixtures' `#incorrect`-annotated triples
+  *     (e.g. intrinsic test SampleInput_CompatibleDatatype.ttl).
+  *
+  * Defect classes injected (prime modulus → class):
+  *   - `%131==7`  duplicate url (page re-crawl of doc_id-7's url)
+  *   - `%439==0`  url contains a space           (syntax violation)
+  *   - `%433==0`  url missing scheme             (syntax violation)
+  *   - `%211==0`  url long + parametarised `?session=xxx…` (style violation)
+  *   - `%353==0`  warc_ts NULL
+  *   - `%359==0`  warc_ts 1985-10-26             (out of accepted range)
+  *   - `%349==0`  text NULL (html NULL too)
+  *   - `%347==0`  text empty
+  *   - `%127==3`  text replaced by boilerplate A (exact-duplicate group)
+  *   - `%127==4`  text replaced by boilerplate B (near-duplicate of A: one token differs)
+  *   - `%421==0`  lang NULL
+  *   - `%419==0`  lang `'x!'`                    (syntax violation)
+  *   - `%97==0`   lang `'zz'`   (valid syntax, absent from lang_dim → referential violation)
+  *   - crawl day ≥ 23 with `%7<3` → lang forced `'fr'`  (lang drift, second half)
+  *   - crawl day ≥ 23 with `%11<3` → hour forced to 03:xx (hour drift, second half)
+  */
+object PageSynth {
+
+  /** 2024-01-01T00:00:00Z — base of the 45-day crawl window. */
+  val Epoch0 = 1704067200L
+  val Days = 45
+  /** Accepted warc_ts window for the range-conformance check. */
+  val TsMin = Epoch0                      // 2024-01-01
+  val TsMax = Epoch0 + Days * 86400L      // 2024-02-15
+
+  /** Known-language dimension (lang_dim). 'zz' deliberately absent. */
+  val KnownLangs = Seq("en", "fr", "es", "zh", "de", "it", "pt", "ja")
+
+  /** host_dim covers host ids 0..90; tail ids 91..100 are "unknown". */
+  val KnownHostMax = 90
+
+  sealed trait Dialect { def str: String; def enc(x: String): String; def day(e: String): String }
+  /** Spark SQL rendering. */
+  case object SparkSql extends Dialect {
+    val str = "string"
+    def enc(x: String) = s"encode($x, 'UTF-8')"
+    def day(e: String) = s"date_format(date_add(date'2024-01-01', cast($e as int)), 'yyyy-MM-dd')"
+  }
+  /** DuckDB rendering (for the driver's oracle). */
+  case object DuckSql extends Dialect {
+    val str = "varchar"
+    def enc(x: String) = s"encode($x)"
+    def day(e: String) = s"strftime(DATE '2024-01-01' + cast($e as int), '%Y-%m-%d')"
+  }
+
+  /** The page-derivation SELECT over a `documents` relation, shared by
+    * both engines. Produces columns:
+    * `doc_id, url, warc_epoch, pday, html, text, lang, host_id, host`.
+    * (`warc_epoch` bigint instead of a timestamp so the oracle never
+    * crosses a timezone boundary; Spark materializes `warc_ts` from it.)
+    */
+  def pagesSelect(d: Dialect, docs: String = "documents"): String = {
+    val str = d.str
+    s"""SELECT doc_id, url, warc_epoch, pday,
+       |  CASE WHEN text IS NULL THEN NULL
+       |       ELSE ${d.enc("'<!DOCTYPE html><html><body><p>' || text || '</p></body></html>'")} END AS html,
+       |  text, lang, host_id, host
+       |FROM (
+       |  SELECT doc_id, pid, host_id, host,
+       |    CASE WHEN pid % 439 = 0 THEN 'http://' || host || '/bad path/' || cast(pid as $str)
+       |         WHEN pid % 433 = 0 THEN 'notaurl-' || cast(pid as $str)
+       |         WHEN pid % 211 = 0 THEN 'https://' || host || '/p/' || cast(pid as $str) || '.html?session=' || repeat('x', 60)
+       |         ELSE 'https://' || host || '/p/' || cast(pid as $str) || '.html' END AS url,
+       |    CASE WHEN doc_id % 353 = 0 THEN NULL
+       |         WHEN doc_id % 359 = 0 THEN 499162500
+       |         WHEN doc_id % $Days >= 23 AND doc_id % 11 < 3
+       |           THEN ${Epoch0}+ (doc_id % $Days) * 86400 + 10800 + (doc_id * 7919) % 3600
+       |         ELSE ${Epoch0}+ (doc_id % $Days) * 86400 + (doc_id * 7919) % 86400 END AS warc_epoch,
+       |    CASE WHEN doc_id % 353 = 0 THEN 'null'
+       |         WHEN doc_id % 359 = 0 THEN '1985-10-26'
+       |         ELSE ${d.day(s"doc_id % $Days")} END AS pday,
+       |    CASE WHEN doc_id % 349 = 0 THEN NULL
+       |         WHEN doc_id % 347 = 0 THEN ''
+       |         WHEN doc_id % 127 = 3 THEN 'boilerplate cookie consent page please accept our terms and conditions to continue reading the content of this site'
+       |         WHEN doc_id % 127 = 4 THEN 'boilerplate cookie consent page please accept our terms and conditions to continue reading the content of this website'
+       |         ELSE text END AS text,
+       |    CASE WHEN doc_id % 421 = 0 THEN NULL
+       |         WHEN doc_id % 419 = 0 THEN 'x!'
+       |         WHEN doc_id % 97 = 0 THEN 'zz'
+       |         WHEN doc_id % $Days >= 23 AND doc_id % 7 < 3 THEN 'fr'
+       |         ELSE lang END AS lang
+       |  FROM (
+       |    SELECT doc_id, text, lang, pid,
+       |      CASE WHEN pid % 100 < 40 THEN 0
+       |           WHEN pid % 100 < 65 THEN 1
+       |           WHEN pid % 100 < 80 THEN 2
+       |           WHEN pid % 100 < 90 THEN 3
+       |           ELSE (pid % 97) + 4 END AS host_id,
+       |      'h' || lpad(cast(CASE WHEN pid % 100 < 40 THEN 0
+       |           WHEN pid % 100 < 65 THEN 1
+       |           WHEN pid % 100 < 80 THEN 2
+       |           WHEN pid % 100 < 90 THEN 3
+       |           ELSE (pid % 97) + 4 END as $str), 3, '0') || '.example.com' AS host
+       |    FROM (
+       |      SELECT doc_id, text, lang,
+       |        CASE WHEN doc_id % 131 = 7 THEN doc_id - 7 ELSE doc_id END AS pid
+       |      FROM $docs
+       |    ) t0
+       |  ) t1
+       |) t2""".stripMargin
+  }
+
+  /** DuckDB CTE prelude used by every oracle SQL: `WITH pages AS (…)`.
+    * Relies on the driver registering the parquet as table `documents`.
+    */
+  def duckCte: String = s"WITH pages AS (${pagesSelect(DuckSql)})"
+
+  /** Full page table incl. synthesis metadata (doc_id, host, pday,
+    * warc_epoch) — used by tests and oracle-parity harness.
+    */
+  def pagesWithMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    spark.sql(pagesSelect(SparkSql))
+      .withColumn("warc_ts", col("warc_epoch").cast("timestamp"))
+  }
+
+  /** The engine's input contract: exactly (url, warc_ts, html, text, lang). */
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    pagesWithMeta(spark, sfDir).select("url", "warc_ts", "html", "text", "lang")
+
+  /** host_dim snapshot: the authoritative hosts (ids 0..90) — the analog
+    * of the reference's VocabularyLoader vocabulary dimension
+    * (utilities/.../VocabularyLoader.java:82-165).
+    */
+  def hostDim(spark: SparkSession): DataFrame =
+    spark.range(0, KnownHostMax + 1L)
+      .select(concat(lit("h"), lpad(col("id").cast("string"), 3, "0"), lit(".example.com")).as("host"))
+
+  /** DuckDB rendering of host_dim for oracle SQL. */
+  def hostDimDuck: String =
+    s"SELECT 'h' || lpad(cast(range as varchar), 3, '0') || '.example.com' AS host FROM range(0, ${KnownHostMax + 1})"
+
+  /** lang_dim snapshot. */
+  def langDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    KnownLangs.toDF("lang")
+  }
+
+  /** DuckDB rendering of lang_dim for oracle SQL. */
+  def langDimDuck: String =
+    KnownLangs.map(l => s"('$l')").mkString("SELECT * FROM (VALUES ", ", ", ") langs(lang)")
+}
