@@ -223,8 +223,84 @@ object OracleSql {
        |      ELSE 'application/octet-stream' END AS sniffed_type
        |FROM pages WHERE html IS NOT NULL ORDER BY url""".stripMargin
 
+  // ——— text-analysis oracles ———
+
+  private val nTokDuck =
+    "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+
+  private def hitsDuck(words: Seq[String]): String =
+    words.map(w =>
+      s"(CASE WHEN strpos(' ' || coalesce(text, '') || ' ', ' $w ') > 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private val profiles = graft.text.TextOps.StopwordProfiles
+  private val scoreCols = profiles.map { case (l, ws) => s"${hitsDuck(ws)} AS s_$l" }.mkString(", ")
+  private val bestExpr = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+  private val detectedDuck = {
+    val cases = profiles.map { case (l, _) => s"WHEN best >= 2 AND s_$l = best THEN '$l'" }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  val textTokens: String =
+    s"""$cte SELECT pday, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       | CAST(min(n_tok) AS BIGINT) AS min_tokens,
+       | CAST(max(n_tok) AS BIGINT) AS max_tokens
+       |FROM (SELECT pday, $nTokDuck AS n_tok FROM pages) t
+       |GROUP BY pday ORDER BY pday""".stripMargin
+
+  val textQuality: String =
+    s"""$cte, q0 AS (
+       | SELECT pday, CAST($nTokDuck AS DOUBLE) AS n_tok,
+       |   CAST(coalesce(length(text), 0) AS DOUBLE) AS n_chars,
+       |   CAST(${hitsDuck(profiles.head._2)} AS DOUBLE) AS s_en
+       | FROM pages WHERE text IS NOT NULL),
+       |q1 AS (
+       | SELECT pday,
+       |   least(n_tok / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4
+       |   + (CASE WHEN n_tok > 0 AND (n_chars - (n_tok - 1)) / n_tok >= CAST(3.0 AS DOUBLE)
+       |           AND (n_chars - (n_tok - 1)) / n_tok <= CAST(10.0 AS DOUBLE)
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
+       |   + least(s_en / CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.3 AS q
+       | FROM q0)
+       |SELECT pday, CAST(count(*) AS BIGINT) AS n_docs, round(avg(q), 6) AS avg_quality,
+       | CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+       |FROM q1 GROUP BY pday ORDER BY pday""".stripMargin
+
+  val textLangId: String =
+    s"""$cte, s AS (
+       | SELECT coalesce(lang, 'null') AS declared, $scoreCols
+       | FROM pages WHERE text IS NOT NULL AND length(text) > 0),
+       |d AS (SELECT declared, $detectedDuck AS detected FROM (SELECT *, $bestExpr AS best FROM s) t)
+       |SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
+       |FROM d GROUP BY declared, detected ORDER BY declared, detected""".stripMargin
+
+  val textDeclaredVsDerived: String =
+    s"""$cte, s AS (
+       | SELECT pday, lang, $scoreCols
+       | FROM pages WHERE text IS NOT NULL AND length(text) > 0),
+       |d AS (SELECT pday, lang, $detectedDuck AS detected
+       |      FROM (SELECT *, $bestExpr AS best FROM s) t)
+       |SELECT pday, n_rows, violations, value, value >= 0.5 AS pass FROM (
+       | SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
+       |   CAST(sum(CASE WHEN lang <> detected THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |   1.0 - CAST(sum(CASE WHEN lang <> detected THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+       | FROM d WHERE detected <> 'und' AND lang IS NOT NULL GROUP BY pday) t
+       |ORDER BY pday""".stripMargin
+
+  val textFingerprintGroups: String =
+    s"""$cte SELECT fp, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url FROM (
+       | SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp, url
+       | FROM pages WHERE text IS NOT NULL AND length(text) > 0) t
+       |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
   /** All oracles, keyed by query name. */
   val all: Map[String, String] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_declared_vs_derived" -> textDeclaredVsDerived,
+    "text_fingerprint_groups" -> textFingerprintGroups,
     "mm_html_meta" -> mmHtmlMeta,
     "mm_html_digests" -> mmHtmlDigests,
     "pages_dump" -> pagesDump,

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.checks._
+import org.apache.spark.sql.functions.col
 import graft.synth.PageSynth
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -58,7 +59,28 @@ object SparkEntry {
     "sample_stratified_alloc" -> ((s, dir) => Sampling.stratifiedAllocation(pages(s, dir))),
     // multimodal binary-column plumbing + byte-identity invariant
     "mm_html_meta" -> ((s, dir) => graft.multimodal.Multimodal.htmlMeta(pages(s, dir))),
-    "mm_html_digests" -> ((s, dir) => graft.multimodal.Multimodal.htmlDigests(pages(s, dir)))
+    "mm_html_digests" -> ((s, dir) => graft.multimodal.Multimodal.htmlDigests(pages(s, dir))),
+    // text analysis
+    "text_tokens" -> ((s, dir) => graft.text.TextOps.tokenStatsByDay(pages(s, dir))),
+    "text_quality" -> ((s, dir) => graft.text.TextOps.qualityByDay(pages(s, dir))),
+    "text_langid" -> ((s, dir) => graft.text.TextOps.langConfusion(pages(s, dir))),
+    "text_declared_vs_derived" -> ((s, dir) => graft.text.TextOps.declaredVsDerived(pages(s, dir))),
+    "text_fingerprint_groups" -> ((s, dir) => graft.text.TextOps.fingerprintGroups(pages(s, dir))),
+    // near-duplicate detection (LSH; driver checks rows-only — the
+    // exact-Jaccard oracle is the in-repo bruteJaccardPairs + ScalaTest)
+    "dedup_minhash_pairs" -> ((s, dir) => graft.dedup.Dedup.minhashPairs(pages(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(pages(s, dir))),
+    // similarity search over embeddings (+ injected near-dup copies)
+    "knn_brute" -> ((s, dir) => {
+      val v = graft.synth.EmbSynth.vectors(s, dir)
+      graft.sim.Similarity.knnBrute(v, v.where(col("vec_id") < 10))
+    }),
+    "knn_lsh" -> ((s, dir) => {
+      val v = graft.synth.EmbSynth.vectors(s, dir)
+      graft.sim.Similarity.knnLsh(v, v.where(col("vec_id") < 10))
+    }),
+    "emb_near_dup" -> ((s, dir) =>
+      graft.sim.Similarity.nearDupPairs(graft.synth.EmbSynth.vectors(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+import graft.synth.EmbSynth
+
+/** ANN search + embedding near-dup over the injected-copy corpus. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val vectors = EmbSynth.vectors(spark, TestSpark.sf0001).cache()
+
+  test("injected copies are found as near-dup pairs, and nothing else at 0.99") {
+    val pairs = Similarity.nearDupPairs(vectors).collect()
+    val nCopies = vectors.where(col("is_copy")).count()
+    assert(pairs.length == nCopies)
+    pairs.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + EmbSynth.CopyIdOffset)
+      assert(r.getDouble(2) > 0.999)
+    }
+  }
+
+  test("brute-force top-1 of a copied query is its copy") {
+    val queries = vectors.where(col("vec_id") % EmbSynth.CopyEvery === 0 && !col("is_copy"))
+      .limit(5)
+    val knn = Similarity.knnBrute(vectors, queries, k = 3).where(col("rank") === 1).collect()
+    knn.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + EmbSynth.CopyIdOffset,
+        s"top-1 of ${r.getLong(0)} should be its copy")
+    }
+  }
+
+  test("LSH knn recall@5 vs brute is high on this corpus") {
+    val queries = vectors.where(col("vec_id") < 20 && !col("is_copy"))
+    val brute = Similarity.knnBrute(vectors, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(vectors, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, f"recall@5 = $recall%.2f")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = vectors.limit(10)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
+      .collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("knn results deterministic across repartitioning") {
+    val q = vectors.where(col("vec_id") < 10 && !col("is_copy"))
+    val a = Similarity.knnBrute(vectors, q).collect().map(_.toString).toSeq
+    val b = Similarity.knnBrute(vectors.repartition(9), q).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}
