@@ -294,8 +294,80 @@ object OracleSql {
        | FROM pages WHERE text IS NOT NULL AND length(text) > 0) t
        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
+  /** Whole-suite verdict oracle: the union of the per-family oracles in
+    * the CheckSuite's verdict shape.
+    */
+  val suiteVerdicts: String = {
+    val fusedPart = {
+      val parts = predsDuck.map { case (id, _, app, bad, _, thr) =>
+        s"""SELECT '$id' AS check_id, pday,
+           | CAST(sum(CASE WHEN $app THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN ($app) AND ($bad) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           | CAST($thr AS DOUBLE) AS threshold
+           |FROM pages GROUP BY pday""".stripMargin
+      }
+      s"""SELECT check_id, pday, n_rows, violations, value, value >= threshold AS pass FROM (
+         |  SELECT check_id, pday, n_rows, violations, threshold,
+         |    CASE WHEN n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS value
+         |  FROM (${parts.mkString("\nUNION ALL\n")}) p) t""".stripMargin
+    }
+    def refPart(checkId: String, factSel: String, dimSql: String, thr: Double) =
+      s"""SELECT '$checkId' AS check_id, pday, n_rows, violations, value, value >= $thr AS pass FROM (
+         |  SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |    1.0 - CAST(sum(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+         |  FROM ($factSel) f LEFT JOIN ($dimSql) d ON f.k = d.k GROUP BY pday) t""".stripMargin
+    val hostPart = refPart("ref_host_dim",
+      s"SELECT pday, $hostExpr AS k FROM pages WHERE $hostExpr <> ''",
+      s"SELECT host AS k FROM (${PageSynth.hostDimDuck}) hd", 0.99)
+    val langPart = refPart("ref_lang_dim",
+      s"SELECT pday, lang AS k FROM pages WHERE lang IS NOT NULL AND regexp_matches(lang, '${Conformance.LangRegex}')",
+      s"SELECT lang AS k FROM (${PageSynth.langDimDuck}) ld", 0.98)
+    val uniqPart =
+      s"""SELECT 'unique_url' AS check_id, '*' AS pday,
+         | CAST(sum(n) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS violations,
+         | CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS value,
+         | CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) >= 0.99 AS pass
+         |FROM (SELECT url, count(*) AS n FROM pages GROUP BY url) g""".stripMargin
+    def driftPart(checkId: String, binExpr: String, isKs: Boolean, thr: Double) = {
+      val hists = driftHists(binExpr)
+      val valueSql =
+        if (isKs)
+          s"""c AS (SELECT bin, sum(cb) OVER (ORDER BY bin) AS ab, sum(cc) OVER (ORDER BY bin) AS ac FROM j),
+             |v AS (SELECT max(abs(CAST(ab AS DOUBLE) / t.tb - CAST(ac AS DOUBLE) / t.tc)) AS s FROM c, t)""".stripMargin
+        else
+          s"""v AS (SELECT sum(
+             |   ((CAST(cc AS DOUBLE) + 0.5) / (t.tc + 0.5 * t.k) - (CAST(cb AS DOUBLE) + 0.5) / (t.tb + 0.5 * t.k))
+             |   * ln(((CAST(cc AS DOUBLE) + 0.5) / (t.tc + 0.5 * t.k)) / ((CAST(cb AS DOUBLE) + 0.5) / (t.tb + 0.5 * t.k)))
+             | ) AS s FROM j, t)""".stripMargin
+      s"""SELECT '$checkId' AS check_id, '*' AS pday,
+         | (SELECT base_rows + cur_rows FROM (WITH $hists SELECT * FROM t) tt) AS n_rows,
+         | CAST(0 AS BIGINT) AS violations,
+         | (SELECT round(s, 6) FROM (WITH $hists, $valueSql SELECT * FROM v) vv) AS value,
+         | (SELECT s <= $thr FROM (WITH $hists, $valueSql SELECT * FROM v) vv) AS pass""".stripMargin
+    }
+    val psiPart = driftPart("drift_lang_psi", "coalesce(lang, 'null')", isKs = false, Drift.PsiThreshold)
+    val ksPart = driftPart("drift_hour_ks", hourBin, isKs = true, Drift.KsThreshold)
+    s"""$cte SELECT * FROM (
+       |$fusedPart
+       |UNION ALL
+       |$hostPart
+       |UNION ALL
+       |$langPart
+       |UNION ALL
+       |$uniqPart
+       |UNION ALL
+       |$psiPart
+       |UNION ALL
+       |$ksPart
+       |) s ORDER BY check_id, pday""".stripMargin
+  }
+
   /** All oracles, keyed by query name. */
   val all: Map[String, String] = Map(
+    "suite_verdicts" -> suiteVerdicts,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,

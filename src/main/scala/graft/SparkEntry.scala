@@ -80,7 +80,9 @@ object SparkEntry {
       graft.sim.Similarity.knnLsh(v, v.where(col("vec_id") < 10))
     }),
     "emb_near_dup" -> ((s, dir) =>
-      graft.sim.Similarity.nearDupPairs(graft.synth.EmbSynth.vectors(s, dir)))
+      graft.sim.Similarity.nearDupPairs(graft.synth.EmbSynth.vectors(s, dir))),
+    // whole-pipeline: write Iceberg-shaped table + full resumable suite
+    "suite_verdicts" -> ((s, dir) => graft.runtime.SuiteRunner.verdicts(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

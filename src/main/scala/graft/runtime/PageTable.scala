@@ -1,0 +1,70 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import graft.checks.FusedChecks
+
+/** Iceberg-*shaped* partitioned table (SURVEY §7.2: no Iceberg runtime
+  * ships in /opt/spark/jars offline, so the layout is partitioned
+  * Parquet + an explicit snapshot manifest, behind an interface a real
+  * Iceberg catalog can replace):
+  *
+  * {{{
+  * root/
+  *   data/pday=YYYY-MM-DD/part-*.parquet   // days(warc_ts) partitioning
+  *   _manifest.json                        // snapshot: partition list + row counts
+  *   audit/part-*.parquet                  // AuditRow lineage table (append-only)
+  *   results/part-*.parquet                // CheckResult verdicts per run
+  *   violations/part-*.parquet             // violation rows per run
+  * }}}
+  *
+  * `pday` is a real partition column, so `WHERE pday NOT IN (done)`
+  * prunes files at planning time — that is what makes audit-based
+  * resume skip completed partitions without reading them.
+  */
+object PageTable {
+
+  /** Write the page table partitioned by day. Dynamic partition
+    * overwrite keeps re-writes idempotent per partition.
+    */
+  def write(pages: DataFrame, root: String): Unit = {
+    val spark = pages.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pages
+      .withColumn("pday", FusedChecks.pday)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("pday")
+      .parquet(s"$root/data")
+    writeManifest(spark, root)
+  }
+
+  /** Snapshot manifest: one JSON with per-partition row counts — the
+    * stand-in for an Iceberg snapshot + manifest list. Written last so
+    * a complete manifest implies complete data.
+    */
+  def writeManifest(spark: SparkSession, root: String): Unit = {
+    val counts = spark.read.parquet(s"$root/data")
+      .groupBy("pday").count().orderBy("pday")
+      .collect().map(r => s"""    {"pday": "${r.getString(0)}", "rows": ${r.getLong(1)}}""")
+    val json =
+      s"""{
+         |  "format": "metricsspark-manifest-v1",
+         |  "partition_spec": "days(warc_ts)",
+         |  "partitions": [
+         |${counts.mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+    Files.writeString(Paths.get(root, "_manifest.json"), json)
+  }
+
+  /** Read with partition pruning available on `pday`. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/data")
+
+  /** Partition list from the manifest (cheap, no file listing). */
+  def partitions(root: String): Seq[String] = {
+    val txt = Files.readString(Paths.get(root, "_manifest.json"))
+    """"pday": "([^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+  }
+}

@@ -1,0 +1,40 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.synth.PageSynth
+
+/** Convenience entry: synthesize → write Iceberg-shaped table → run the
+  * full check suite → verdicts. This is the end-to-end "validated
+  * docs/sec" path the bench measures.
+  */
+object SuiteRunner {
+
+  def tableRoot(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/metricsspark_table$tag"
+  }
+
+  /** Build (or rebuild) the partitioned table for a testdata dir. */
+  def buildTable(spark: SparkSession, sfDir: String): String = {
+    val root = tableRoot(sfDir)
+    PageTable.write(PageSynth.pages(spark, sfDir), root)
+    root
+  }
+
+  /** Full pipeline: build + fresh suite run; returns verdicts ordered,
+    * without run-scoped columns (deterministic output).
+    */
+  def verdicts(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildTable(spark, sfDir)
+    // fresh audit per invocation for a deterministic full assessment
+    val runId = s"verify_${System.nanoTime()}"
+    new CheckSuite(spark, root).run(runId)
+      .select("check_id", "pday", "n_rows", "violations", "value", "pass")
+      .orderBy("check_id", "pday")
+  }
+
+  /** Suite run on an already-built table (the benched hot path). */
+  def assess(spark: SparkSession, root: String, runId: String): DataFrame =
+    new CheckSuite(spark, root).run(runId)
+}
