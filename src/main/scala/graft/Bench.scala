@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.runtime.{PageTable, SuiteRunner}
+import graft.synth.PageSynth
+
+/** Driver-run benchmark: one JSON line with per-query seconds plus the
+  * headline end-to-end suite assessment (validated docs/sec path) over
+  * a deterministically replicated corpus.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // per-operator timings on the raw sfDir corpus
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+    }
+
+    // headline: full constraint suite over a replicated corpus
+    val root = s"${sys.props("java.io.tmpdir")}/metricsspark_bench_$benchDocs"
+    val tBuild = time {
+      PageTable.write(PageSynth.replicatedPages(spark, sfDir, benchDocs), root)
+    }
+    val nDocs = PageTable.read(spark, root).count()
+    val tSuite = time {
+      SuiteRunner.assess(spark, root, s"bench_${System.nanoTime()}").count()
+    }
+    results("suite_build_table") = tBuild
+    results("suite_assess") = tSuite
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val docsPerSec = (nDocs / tSuite).round
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","suite_docs":$nDocs,"suite_docs_per_sec":$docsPerSec}""")
     spark.stop()
   }
 }

@@ -365,8 +365,16 @@ object OracleSql {
        |) s ORDER BY check_id, pday""".stripMargin
   }
 
+  val saltedHostProfile: String =
+    s"""$cte SELECT host, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(count(DISTINCT url) AS BIGINT) AS distinct_urls,
+       | CAST(count(DISTINCT pday) AS BIGINT) AS n_days
+       |FROM (SELECT url, pday, $hostExpr AS host FROM pages WHERE $hostExpr <> '') p
+       |GROUP BY host ORDER BY host""".stripMargin
+
   /** All oracles, keyed by query name. */
   val all: Map[String, String] = Map(
+    "salted_host_profile" -> saltedHostProfile,
     "suite_verdicts" -> suiteVerdicts,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

@@ -82,7 +82,9 @@ object SparkEntry {
     "emb_near_dup" -> ((s, dir) =>
       graft.sim.Similarity.nearDupPairs(graft.synth.EmbSynth.vectors(s, dir))),
     // whole-pipeline: write Iceberg-shaped table + full resumable suite
-    "suite_verdicts" -> ((s, dir) => graft.runtime.SuiteRunner.verdicts(s, dir))
+    "suite_verdicts" -> ((s, dir) => graft.runtime.SuiteRunner.verdicts(s, dir)),
+    // skew-safe two-phase (salted) host aggregation; oracle = unsalted SQL
+    "salted_host_profile" -> ((s, dir) => Salting.hostProfile(pages(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

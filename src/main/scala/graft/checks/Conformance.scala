@@ -122,21 +122,26 @@ object FusedChecks {
       .orderBy("check_id", "pday")
   }
 
-  /** All predicate-check violations in ONE scan. */
-  def violations(pages: DataFrame, preds: Seq[Pred] = Conformance.preds): DataFrame = {
+  /** All predicate-check violations in ONE scan. `ordered=false` skips
+    * the global sort (a range-partitioned sort executes the upstream
+    * twice — sampling + sort — so sinks that don't need order, like the
+    * suite's parquet violation log, must not pay for it).
+    */
+  def violations(pages: DataFrame, preds: Seq[Pred] = Conformance.preds,
+      ordered: Boolean = true): DataFrame = {
     val structs = preds.map { p =>
       when(p.applicable && p.bad,
         struct(lit(p.id).as("check_id"), lit(p.kind).as("kind"),
           coalesce(p.detail.cast("string"), lit("null")).as("detail")))
         .otherwise(lit(null))
     }
-    pages.withColumn("pday", pday)
+    val out = pages.withColumn("pday", pday)
       .select(col("pday"), col("url"),
         filter(array(structs: _*), c => c.isNotNull).as("fails"))
       .where(size(col("fails")) > 0)
       .select(explode(col("fails")).as("f"), col("pday"), col("url"))
       .select(col("f.check_id"), col("f.kind"), col("pday"),
         coalesce(col("url"), lit("null")).as("url"), col("f.detail"))
-      .orderBy("check_id", "url", "pday", "detail")
+    if (ordered) out.orderBy("check_id", "url", "pday", "detail") else out
   }
 }

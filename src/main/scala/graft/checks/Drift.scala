@@ -30,23 +30,55 @@ object Drift {
   val PsiThreshold = 0.2
   val KsThreshold  = 0.1
 
-  /** Two histograms in one pass using the typed aggregator:
-    * side ("base"/"cur") → bin → count.
+  /** Two histograms in one pass: side ("base"/"cur") → bin → count.
+    *
+    * Implementation note: the relational `groupBy(side, bin).count()`
+    * is the scalable form — a codegen'd hash partial-agg per input
+    * partition, shuffling only ≤2·K tiny rows. It is semantically the
+    * [[HistAggregator]] monoid (same zero/reduce/merge laws, verified
+    * in AggregatorSpec); the typed Aggregator remains the extension
+    * point for sketches that have no relational equivalent, but the
+    * row-at-a-time typed path deserializes every row and was measured
+    * 8× slower at 2M docs.
     */
-  def twoSampleHist(pages: DataFrame, bin: org.apache.spark.sql.Column): Map[String, Map[String, Long]] = {
-    val spark = pages.sparkSession
-    import spark.implicits._
-    val sided = pages.withColumn("pday", FusedChecks.pday)
+  def twoSampleHist(pages: DataFrame, bin: org.apache.spark.sql.Column): Map[String, Map[String, Long]] =
+    pages.withColumn("pday", FusedChecks.pday)
       .where(col("pday") >= WindowLo && col("pday") < WindowHi)
       .select(
         when(col("pday") >= SplitDay, "cur").otherwise("base").as("side"),
         bin.cast("string").as("bin"))
-      .as[(String, String)]
-    sided.groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(HistAggregator.toColumn)
+      .groupBy("side", "bin").count()
       .collect()
-      .toMap
+      .groupBy(_.getString(0))
+      .map { case (side, rows) =>
+        side -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+
+  /** Both drift checks (lang PSI + hour KS) from ONE table scan: each
+    * row contributes two (kind, bin) entries, one grouped aggregation
+    * covers both histogram pairs.
+    */
+  def combined(pages: DataFrame): DataFrame = {
+    val rows = pages.withColumn("pday", FusedChecks.pday)
+      .where(col("pday") >= WindowLo && col("pday") < WindowHi)
+      .select(
+        when(col("pday") >= SplitDay, "cur").otherwise("base").as("side"),
+        explode(array(
+          struct(lit("lang").as("kind"), coalesce(col("lang"), lit("null")).as("bin")),
+          struct(lit("hour").as("kind"),
+            lpad(hour(col("warc_ts")).cast("string"), 2, "0").as("bin")))).as("kb"))
+      .groupBy(col("side"), col("kb.kind"), col("kb.bin")).count()
+      .collect()
+    def hists(kind: String): Map[String, Map[String, Long]] =
+      rows.filter(_.getString(1) == kind).groupBy(_.getString(0))
+        .map { case (s, rs) => s -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap }
+    val langH = hists("lang"); val hourH = hists("hour")
+    val spark = pages.sparkSession
+    result(spark, "drift_lang_psi", "psi", langH,
+      psi(langH.getOrElse("base", Map.empty), langH.getOrElse("cur", Map.empty)), PsiThreshold)
+      .unionByName(
+        result(spark, "drift_hour_ks", "ks", hourH,
+          ks(hourH.getOrElse("base", Map.empty), hourH.getOrElse("cur", Map.empty)), KsThreshold))
   }
 
   /** Population-stability index with add-λ smoothing over the union of

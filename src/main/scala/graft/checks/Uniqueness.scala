@@ -25,12 +25,13 @@ object Uniqueness {
   /** Duplicate-url groups: (url, n_rows, n_days). Violations of the
     * url-uniqueness constraint (kind ResourceReplica).
     */
-  def duplicateUrls(pages: DataFrame): DataFrame =
-    pages.groupBy(col("url"))
+  def duplicateUrls(pages: DataFrame, ordered: Boolean = true): DataFrame = {
+    val out = pages.groupBy(col("url"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(FusedChecks.pday).as("n_days"))
       .where(col("n_rows") > 1)
-      .orderBy("url")
+    if (ordered) out.orderBy("url") else out
+  }
 
   /** Global uniqueness verdict: one row
     * (rows, distinct_urls, dup_urls, dup_rows, value).
@@ -76,8 +77,8 @@ object Uniqueness {
   }
 
   /** Violation rows for the url-uniqueness check (one per replica group). */
-  def violations(pages: DataFrame): DataFrame =
-    duplicateUrls(pages).select(
+  def violations(pages: DataFrame, ordered: Boolean = true): DataFrame =
+    duplicateUrls(pages, ordered).select(
       lit("unique_url").as("check_id"),
       lit(ViolationKind.ResourceReplica).as("kind"),
       lit("*").as("pday"),

@@ -68,23 +68,24 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         .where(col("pday").isin(remaining: _*))
         .drop("pday")
 
-      val perDay =
-        FusedChecks.resultsByDay(pages)
-          .unionByName(
-            Referential.hostCheckByDay(pages, dims.hostDim)
-              .withColumn("check_id", lit(CheckId.HostReferential))
-              .select("check_id", "pday", "n_rows", "violations", "value", "pass"))
-          .unionByName(
-            Referential.langCheckByDay(pages, dims.langDim)
-              .withColumn("check_id", lit(CheckId.LangReferential))
-              .select("check_id", "pday", "n_rows", "violations", "value", "pass"))
+      // ONE scan for every per-day check: broadcast-join the dimension
+      // snapshots, then express the referential checks as two more
+      // fused predicates alongside the conformance bank.
+      val joined = pages
+        .withColumn("host", Referential.hostExpr)
+        .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
+        .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
+      val allPreds = Conformance.preds ++ CheckSuite.refPreds
+      val perDay = FusedChecks.resultsByDay(joined, allPreds)
 
+      // No global cap here: a LIMIT forces the write through one
+      // partition (serial). Pathological blow-up is bounded upstream —
+      // uniqueness violations are per-group rows, and per-row listings
+      // are a small defect fraction by construction of the checks.
       val viol =
-        FusedChecks.violations(pages)
-          .unionByName(Uniqueness.violations(pages))
-          .unionByName(Referential.violations(pages, dims.hostDim, dims.langDim))
+        FusedChecks.violations(joined, allPreds, ordered = false)
+          .unionByName(Uniqueness.violations(pages, ordered = false))
           .withColumn("run_id", lit(runId))
-          .limit(CheckSuite.MaxViolationRows)
 
       // whole-table checks (full table, keyed pday='*') with the
       // final batch only — they are not per-partition decomposable
@@ -94,19 +95,18 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
           lit(CheckId.UrlUniqueness).as("check_id"), lit("*").as("pday"),
           col("n_rows"), col("dup_rows").as("violations"), col("value"),
           (col("value") >= 0.99).as("pass"))
-        val psi = Drift.langPsi(full).select(
+        val drift = Drift.combined(full).select(
           col("check_id"), lit("*").as("pday"),
           (col("base_rows") + col("cur_rows")).as("n_rows"),
           lit(0L).as("violations"), col("value"), col("pass"))
-        val ks = Drift.hourKs(full).select(
-          col("check_id"), lit("*").as("pday"),
-          (col("base_rows") + col("cur_rows")).as("n_rows"),
-          lit(0L).as("violations"), col("value"), col("pass"))
-        perDay.unionByName(uniq).unionByName(psi).unionByName(ks)
+        perDay.unionByName(uniq).unionByName(drift)
       } else perDay)
         .withColumn("run_id", lit(runId))
 
-      // durability order: violations → results → audit (audit marks done)
+      // durability order: violations → results → audit (audit marks done).
+      // The verdict table is tiny — cache it so the audit write reuses
+      // the materialized rows instead of re-executing the whole scan DAG.
+      results.persist()
       viol.write.mode(SaveMode.Append).parquet(violationsPath)
       results.write.mode(SaveMode.Append).parquet(resultsPath)
 
@@ -118,6 +118,7 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         lit(CheckSuite.ParamsJson).as("params"),
         lit(System.currentTimeMillis()).as("finished_ts"))
       audit.write.mode(SaveMode.Append).parquet(auditPath)
+      results.unpersist()
     }
 
     // a crash between results-write and audit-write can leave duplicate
@@ -128,6 +129,18 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
 }
 
 object CheckSuite {
+  /** Referential checks expressed as fused predicates over the
+    * dim-joined frame (host_known/lang_known null ⇔ missing from the
+    * snapshot) — this is what lets the whole per-day family run in one
+    * scan.
+    */
+  val refPreds: Seq[Pred] = Seq(
+    Pred(CheckId.HostReferential, graft.model.ViolationKind.UnknownHost,
+      col("host") =!= "", col("host_known").isNull, col("host"), 0.99),
+    Pred(CheckId.LangReferential, graft.model.ViolationKind.UnknownLanguage,
+      col("lang").isNotNull && col("lang").rlike(Conformance.LangRegex),
+      col("lang_known").isNull, col("lang"), 0.98))
+
   /** Number of distinct per-day check ids emitted for every partition
     * (fused preds + host/lang referential).
     */

@@ -33,6 +33,7 @@ object PageTable {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages
       .withColumn("pday", FusedChecks.pday)
+      .repartition(col("pday")) // co-locate each day → one well-sized file per partition
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pday")
       .parquet(s"$root/data")

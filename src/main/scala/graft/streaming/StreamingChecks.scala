@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.checks.{Conformance, Pred}
+
+/** Structured-Streaming variant of the conformance family.
+  *
+  * The reference's "stream" is a single-pass iterator with no
+  * watermarks, no event-time windows, and no late-data handling
+  * (SURVEY §2.3); batch metricsspark is its faithful equivalent. This
+  * module goes beyond the reference: the same fused predicate bank
+  * evaluated continuously over arriving page files, aggregated into
+  * event-time day windows with a watermark, so late crawl records
+  * update their own day until the watermark closes it.
+  */
+object StreamingChecks {
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** File-source stream over a directory of page parquet files. */
+  def pageStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(dir)
+
+  /** Fused per-day conformance counts over the stream: one event-time
+    * day window per row, all predicates aggregated in a single
+    * stateful operator; `watermark` bounds state for late data.
+    * Output (append mode after watermark): one row per closed day with
+    * 2 columns per check.
+    */
+  def conformanceByWindow(stream: DataFrame,
+      preds: Seq[Pred] = Conformance.preds,
+      watermark: String = "2 days"): DataFrame = {
+    def safe(id: String): String = id.replace('.', '_')
+    val aggs = preds.flatMap { p =>
+      Seq(
+        sum(when(p.applicable, 1L).otherwise(0L)).as(s"${safe(p.id)}__n_rows"),
+        sum(when(p.applicable && p.bad, 1L).otherwise(0L)).as(s"${safe(p.id)}__bad"))
+    }
+    stream
+      .where(col("warc_ts").isNotNull) // null event time has no window; batch path owns it
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), "1 day").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(date_format(col("day.start"), "yyyy-MM-dd").as("pday") +: preds.flatMap(p =>
+        Seq(col(s"${safe(p.id)}__n_rows"), col(s"${safe(p.id)}__bad"))): _*)
+  }
+
+  /** Start the streaming assessment into an in-memory table (tests /
+    * local monitoring) or a parquet sink.
+    */
+  def start(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
+    conformanceByWindow(pageStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

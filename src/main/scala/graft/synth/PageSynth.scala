@@ -129,14 +129,35 @@ object PageSynth {
     */
   def duckCte: String = s"WITH pages AS (${pagesSelect(DuckSql)})"
 
-  /** Full page table incl. synthesis metadata (doc_id, host, pday,
-    * warc_epoch) — used by tests and oracle-parity harness.
+  /** Page derivation over an arbitrary documents DataFrame
+    * (doc_id, text, lang …).
     */
-  def pagesWithMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def pagesFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     docs.createOrReplaceTempView("documents")
     spark.sql(pagesSelect(SparkSql))
       .withColumn("warc_ts", col("warc_epoch").cast("timestamp"))
+  }
+
+  /** Full page table incl. synthesis metadata (doc_id, host, pday,
+    * warc_epoch) — used by tests and oracle-parity harness.
+    */
+  def pagesWithMeta(spark: SparkSession, sfDir: String): DataFrame =
+    pagesFromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Deterministically replicated corpus for benchmarking: documents
+    * crossed with a replica index, re-keyed doc_id = rep·N + doc_id so
+    * every replica gets a distinct slice of the defect-injection
+    * pattern. No external data; same seed ⇒ same corpus.
+    */
+  def replicatedPages(spark: SparkSession, sfDir: String, targetDocs: Long): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val k = math.max(1L, (targetDocs + n - 1) / n)
+    val rep = docs.crossJoin(spark.range(k).toDF("rep"))
+      .select((col("rep") * n + col("doc_id")).as("doc_id"),
+        col("text"), col("lang"))
+    pagesFromDocs(rep).select("url", "warc_ts", "html", "text", "lang")
   }
 
   /** The engine's input contract: exactly (url, warc_ts, html, text, lang). */

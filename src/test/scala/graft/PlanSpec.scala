@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.checks._
+import graft.synth.PageSynth
+
+/** Physical-plan quality gates (SURVEY §4): the optimizer must produce
+  * the plan we designed for — broadcast dims, whole-stage codegen in
+  * the hot path, scan-level pushdown. These are the properties that
+  * decide 100 TB behavior, so they are asserted, not eyeballed.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val pages = PageSynth.pages(spark, TestSpark.sf0001)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("referential checks broadcast the dimension (no shuffle of the fact side)") {
+    val p = plan(Referential.hostCheckByDay(pages, PageSynth.hostDim(spark)))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("fused conformance agg runs inside whole-stage codegen") {
+    val p = plan(FusedChecks.resultsByDay(pages))
+    assert(p.contains("*(")) // whole-stage-codegen stages are starred in toString
+    assert(p.contains("HashAggregate")) // hash agg, not sort-based
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val dir = s"${sys.props("java.io.tmpdir")}/metricsspark_prune_test"
+    pages.write.mode("overwrite").parquet(dir)
+    val two = spark.read.parquet(dir).select(count(col("url")), avg(length(col("lang"))))
+    val p = plan(two)
+    assert(p.contains("ReadSchema: struct<url:string,lang:string>"), p.take(800))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val dir = s"${sys.props("java.io.tmpdir")}/metricsspark_prune_test"
+    val filtered = spark.read.parquet(dir).where(col("lang") === "fr").select(col("url"))
+    val p = plan(filtered)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,fr)]"), p.take(800))
+  }
+
+  test("knn brute plan broadcasts the query side") {
+    val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
+    val p = plan(graft.sim.Similarity.knnBrute(v, v.where(col("vec_id") < 5)))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingChecks
+import graft.synth.PageSynth
+import java.nio.file.Files
+
+/** Structured-Streaming conformance: streamed windowed counts must
+  * equal the batch fused counts for the same input.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streamed per-day conformance equals batch over the same files") {
+    val dir = Files.createTempDirectory("metricsspark_stream").toString
+    val pages = PageSynth.pages(spark, TestSpark.sf0001)
+    pages.repartition(6).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingChecks.start(spark, dir, "stream_conf")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_conf")
+      .select(col("pday"), col("conform_url__n_rows"), col("conform_url__bad"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val batch = graft.checks.FusedChecks.resultsByDay(pages.where(col("warc_ts").isNotNull))
+      .where(col("check_id") === "conform_url")
+      .collect()
+      .map(r => r.getString(1) -> (r.getAs[Long]("n_rows"), r.getAs[Long]("violations")))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (day, v) => assert(v == batch(day), s"day $day") }
+  }
+
+  test("multimodal feature extraction is deterministic and shuffle-free") {
+    val pages = PageSynth.pages(spark, TestSpark.sf0001)
+    def key(f: graft.multimodal.Features.PayloadFeatures) =
+      (f.url, f.n_bytes, f.byte_hist16.toSeq, f.pseudo_embedding.toSeq).toString
+    val f1 = graft.multimodal.Features.extract(pages).collect().map(key).sorted.toSeq
+    val f2 = graft.multimodal.Features.extract(pages.repartition(9)).collect().map(key).sorted.toSeq
+    assert(f1 == f2)
+    assert(f1.nonEmpty)
+    // no exchange in the plan: extraction is partition-local
+    val plan = graft.multimodal.Features.extract(pages).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
