@@ -135,11 +135,17 @@ object FusedChecks {
           coalesce(p.detail.cast("string"), lit("null")).as("detail")))
         .otherwise(lit(null))
     }
-    val out = pages.withColumn("pday", pday)
-      .select(col("pday"), col("url"),
-        filter(array(structs: _*), c => c.isNotNull).as("fails"))
-      .where(size(col("fails")) > 0)
-      .select(explode(col("fails")).as("f"), col("pday"), col("url"))
+    // Cheap scalar pre-filter first: only ~the defect fraction of rows
+    // survives the codegen'd OR-chain, so the struct-array work runs on
+    // a tiny subset. Null entries are dropped AFTER explode — the
+    // higher-order `filter(arr, lambda)` (ArrayFilter) is
+    // CodegenFallback and would pull the whole projection out of
+    // whole-stage codegen; explode + null-filter stays codegen'd.
+    val anyBad = preds.map(p => p.applicable && p.bad).reduce(_ || _)
+    val out = pages.where(anyBad)
+      .withColumn("pday", pday)
+      .select(explode(array(structs: _*)).as("f"), col("pday"), col("url"))
+      .where(col("f").isNotNull)
       .select(col("f.check_id"), col("f.kind"), col("pday"),
         coalesce(col("url"), lit("null")).as("url"), col("f.detail"))
     if (ordered) out.orderBy("check_id", "url", "pday", "detail") else out

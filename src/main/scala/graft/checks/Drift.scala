@@ -54,25 +54,28 @@ object Drift {
         side -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
       }
 
-  /** Both drift checks (lang PSI + hour KS) from ONE table scan: each
-    * row contributes two (kind, bin) entries, one grouped aggregation
-    * covers both histogram pairs.
+  /** Both drift checks (lang PSI + hour KS) from ONE table scan: a
+    * single (side, lang, hour) grouping — ≤ 2·K_lang·24 cells, so the
+    * partial agg collapses each input partition to a few hundred rows
+    * and both marginals fall out driver-side. (An earlier explode-based
+    * variant doubled the rows through the aggregate; the joint-cell
+    * grouping does strictly less work.)
     */
   def combined(pages: DataFrame): DataFrame = {
-    val rows = pages.withColumn("pday", FusedChecks.pday)
+    val cells = pages.withColumn("pday", FusedChecks.pday)
       .where(col("pday") >= WindowLo && col("pday") < WindowHi)
       .select(
         when(col("pday") >= SplitDay, "cur").otherwise("base").as("side"),
-        explode(array(
-          struct(lit("lang").as("kind"), coalesce(col("lang"), lit("null")).as("bin")),
-          struct(lit("hour").as("kind"),
-            lpad(hour(col("warc_ts")).cast("string"), 2, "0").as("bin")))).as("kb"))
-      .groupBy(col("side"), col("kb.kind"), col("kb.bin")).count()
+        coalesce(col("lang"), lit("null")).as("lang_bin"),
+        lpad(hour(col("warc_ts")).cast("string"), 2, "0").as("hour_bin"))
+      .groupBy("side", "lang_bin", "hour_bin").count()
       .collect()
-    def hists(kind: String): Map[String, Map[String, Long]] =
-      rows.filter(_.getString(1) == kind).groupBy(_.getString(0))
-        .map { case (s, rs) => s -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap }
-    val langH = hists("lang"); val hourH = hists("hour")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def marginal(bin: ((String, String, String, Long)) => String): Map[String, Map[String, Long]] =
+      cells.groupBy(_._1).map { case (side, rs) =>
+        side -> rs.groupBy(bin).map { case (b, bs) => b -> bs.map(_._4).sum }
+      }
+    val langH = marginal(_._2); val hourH = marginal(_._3)
     val spark = pages.sparkSession
     result(spark, "drift_lang_psi", "psi", langH,
       psi(langH.getOrElse("base", Map.empty), langH.getOrElse("cur", Map.empty)), PsiThreshold)

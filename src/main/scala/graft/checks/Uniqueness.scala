@@ -39,7 +39,14 @@ object Uniqueness {
     * shape (ExtensionalConciseness.java:136-140).
     */
   def urlUniqueness(pages: DataFrame): DataFrame =
-    pages.groupBy(col("url")).agg(count(lit(1)).as("n"))
+    // group on xxhash64(url), not the url string: the shuffle carries
+    // 8-byte keys instead of ~50-byte urls (urls are mostly unique, so
+    // partial aggregation cannot shrink this shuffle — key width is the
+    // whole cost). Exact modulo 64-bit collisions: expected colliding
+    // pairs at 10^12 rows ≈ (10^12)²/2^65 ≈ 27 — below any verdict
+    // threshold's resolution; the violation listing re-verifies by url.
+    pages.select(xxhash64(col("url")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
       .agg(
         sum(col("n")).as("n_rows"),
         count(lit(1)).as("distinct_urls"),
@@ -76,12 +83,27 @@ object Uniqueness {
       .orderBy("url")
   }
 
-  /** Violation rows for the url-uniqueness check (one per replica group). */
-  def violations(pages: DataFrame, ordered: Boolean = true): DataFrame =
-    duplicateUrls(pages, ordered).select(
+  /** Violation rows for the url-uniqueness check (one per replica
+    * group), hash-first: (1) find duplicate *hashes* with an 8-byte-key
+    * shuffle, (2) broadcast the (tiny, by construction) duplicate-hash
+    * set back over the table and group the few matching rows by the
+    * actual url — which also makes the listing exact under hash
+    * collisions.
+    */
+  def violations(pages: DataFrame, ordered: Boolean = true): DataFrame = {
+    val dupHashes = pages.select(xxhash64(col("url")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("hn"))
+      .where(col("hn") > 1)
+      .select(col("h"))
+    val groups = pages
+      .join(broadcast(dupHashes), xxhash64(col("url")) === col("h"), "left_semi")
+      .groupBy(col("url")).agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > 1)
+    (if (ordered) groups.orderBy("url") else groups).select(
       lit("unique_url").as("check_id"),
       lit(ViolationKind.ResourceReplica).as("kind"),
       lit("*").as("pday"),
       col("url"),
       concat(lit("url crawled "), col("n_rows"), lit(" times")).as("detail"))
+  }
 }
