@@ -41,7 +41,7 @@ object OracleSql {
   )
 
   val pagesDump: String =
-    s"$cte SELECT doc_id, url, warc_epoch, pday, html, text, lang, host_id, host FROM pages ORDER BY doc_id"
+    s"$cte SELECT doc_id, url, warc_epoch, pday, sha256(decode(html)) AS html_sha, text, lang, host_id, host FROM pages ORDER BY doc_id"
 
   val fusedResults: String = {
     val parts = predsDuck.map { case (id, _, app, bad, _, thr) =>

@@ -29,10 +29,17 @@ object ScalingBench {
     s"/dev/shm/metricsspark_scaling_$benchDocs")
 
   private def session(cpus: Int): SparkSession = {
+    // shuffle.partitions is deliberately DECOUPLED from the cpu level:
+    // pinning it to `cpus` gave the 4-core level 24M-row reduce
+    // partitions (spill-bound → superlinear 4→8 "scaling") and handed
+    // the 32-core level 8× the reduce parallelism AND different plan
+    // shapes. A fixed fan-out keeps the plan identical across levels —
+    // the only variable is the core budget, which is what the N→4N
+    // efficiency claim is about. AQE coalesces the excess at runtime.
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"metricsspark-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", "128")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/spark_local")

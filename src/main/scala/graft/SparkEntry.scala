@@ -23,11 +23,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // whole-pipeline synthesis parity (validates every derived column,
-    // including the html byte payload, against the DuckDB rendering)
+    // whole-pipeline synthesis parity (validates every derived column
+    // against the DuckDB rendering; html bytes compared via sha256 —
+    // the driver's pandas sort chokes on raw bytearray columns)
     "pages_dump" -> ((s, dir) =>
       PageSynth.pagesWithMeta(s, dir)
-        .select("doc_id", "url", "warc_epoch", "pday", "html", "text", "lang", "host_id", "host")
+        .select(col("doc_id"), col("url"), col("warc_epoch"), col("pday"),
+          org.apache.spark.sql.functions.sha2(col("html"), 256).as("html_sha"),
+          col("text"), col("lang"), col("host_id"), col("host"))
         .orderBy("doc_id")),
     // fused completeness + conformance family (one scan)
     "fused_results" -> ((s, dir) => FusedChecks.resultsByDay(pages(s, dir))),

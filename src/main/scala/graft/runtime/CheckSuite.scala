@@ -118,6 +118,12 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         lit(CheckSuite.ParamsJson).as("params"),
         lit(System.currentTimeMillis()).as("finished_ts"))
       audit.write.mode(SaveMode.Append).parquet(auditPath)
+      // Fresh complete run: this batch IS the whole verdict table —
+      // return the already-materialized cache instead of re-reading the
+      // parquet (the read-back is a constant serial tail that the bench
+      // would charge to every assessment). The DF stays persisted; it
+      // is a few hundred rows.
+      if (done.isEmpty && isFinalBatch) return results
       results.unpersist()
     }
 

@@ -25,15 +25,26 @@ import graft.checks.FusedChecks
   */
 object PageTable {
 
+  /** Files per day partition. One file per day (round 1) capped write
+    * parallelism at #days and made each file ~2 TB at 10^12 rows; k
+    * url-hash buckets per day bound file size to rows/(days·k) and give
+    * the writer days·k-way parallelism, while keeping day co-location
+    * for partition pruning.
+    */
+  val FilesPerDay = 8
+
   /** Write the page table partitioned by day. Dynamic partition
     * overwrite keeps re-writes idempotent per partition.
     */
   def write(pages: DataFrame, root: String): Unit = {
     val spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val days = graft.synth.PageSynth.Days + 2 // + 'null' + out-of-range days
     pages
       .withColumn("pday", FusedChecks.pday)
-      .repartition(col("pday")) // co-locate each day → one well-sized file per partition
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(FilesPerDay)))
+      .repartition(days * FilesPerDay, col("pday"), col("bucket"))
+      .drop("bucket")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pday")
       .parquet(s"$root/data")
