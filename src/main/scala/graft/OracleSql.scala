@@ -195,13 +195,69 @@ object OracleSql {
        |FROM pages""".stripMargin
 
   val sampleStratifiedAlloc: String =
+    s"""$cte SELECT host, stratum_rows,
+       | least(CAST(25 AS BIGINT), CAST(floor((stratum_rows + 4) / 5.0) AS BIGINT)) AS sample_rows
+       |FROM (
+       |  SELECT $hostExpr AS host, CAST(count(*) AS BIGINT) AS stratum_rows
+       |  FROM pages WHERE $hostExpr <> '' GROUP BY 1) t
+       |ORDER BY host""".stripMargin
+
+  val sampleStratifiedRows: String =
     s"""$cte, wh AS (SELECT url, warc_epoch, $hostExpr AS host FROM pages WHERE $hostExpr <> ''),
-       |r AS (SELECT host,
+       |r AS (SELECT host, url,
        |  row_number() OVER (PARTITION BY host ORDER BY md5(url), url, coalesce(warc_epoch, -1)) AS rnk,
-       |  count(*) OVER (PARTITION BY host) AS stratum_rows FROM wh)
-       |SELECT host, CAST(max(stratum_rows) AS BIGINT) AS stratum_rows,
-       | CAST(sum(CASE WHEN rnk <= least(25, CAST(floor((stratum_rows + 4) / 5.0) AS BIGINT)) THEN 1 ELSE 0 END) AS BIGINT) AS sample_rows
-       |FROM r GROUP BY host ORDER BY host""".stripMargin
+       |  count(*) OVER (PARTITION BY host) AS n FROM wh)
+       |SELECT host, url FROM r
+       |WHERE rnk <= least(CAST(25 AS BIGINT), CAST(floor((n + 4) / 5.0) AS BIGINT))
+       |ORDER BY host, url""".stripMargin
+
+  // ——— embedding / similarity oracles ———
+  //
+  // The vectors are derived from the driver's `embeddings` parquet
+  // exactly as EmbSynth.vectors does (float→double widening + the
+  // deterministic perturbed copies), and every cosine is an unrolled
+  // left-associated sum — the same summation order as Spark's
+  // aggregate() left fold — so the doubles match bit-for-bit before
+  // rounding.
+
+  private val simDim = graft.sim.Similarity.Dim
+  private val copyOffset = graft.synth.EmbSynth.CopyIdOffset
+  private val copyEvery = graft.synth.EmbSynth.CopyEvery
+
+  private val vecCte: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $copyOffset,
+       |    list_transform(generate_series(1, len(embedding)), i ->
+       |      CAST(embedding[i] AS DOUBLE) + (CAST((vec_id + i) % 7 AS DOUBLE) - 3.0) * 0.001) AS e
+       |  FROM embeddings WHERE vec_id % $copyEvery = 0)""".stripMargin
+
+  private def dotDuck(a: String, b: String): String =
+    (1 to simDim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+  private def normDuckVec(a: String): String =
+    s"sqrt(${(1 to simDim).map(i => s"$a[$i] * $a[$i]").mkString(" + ")})"
+  private def cosDuck(a: String, b: String): String =
+    s"(${dotDuck(a, b)}) / (${normDuckVec(a)} * ${normDuckVec(b)})"
+
+  val knnBrute: String =
+    s"""$vecCte,
+       |q AS (SELECT vec_id AS query_id, e AS qv FROM vecs WHERE vec_id < 10),
+       |s AS (SELECT query_id, v.vec_id AS neighbor_id,
+       |        round(${cosDuck("qv", "v.e")}, 6) AS cos
+       |      FROM vecs v JOIN q ON v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  val embNearDup: String =
+    s"""$vecCte,
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        round(${cosDuck("a.e", "b.e")}, 6) AS cos
+       |      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
   /** substr-based text extraction from decoded html; must mirror
     * graft.multimodal.Multimodal.extractText exactly.
@@ -288,29 +344,248 @@ object OracleSql {
        | FROM d WHERE detected <> 'und' AND lang IS NOT NULL GROUP BY pday) t
        |ORDER BY pday""".stripMargin
 
+  // ——— near-duplicate (dedup) oracles ———
+  //
+  // Full value oracles for the LSH family: both engines hash with md5
+  // (shingles → 28-bit ints, tokens → 60-bit ints), so DuckDB can
+  // recompute the exact jaccard / simhash values. The oracle side is
+  // brute force over the *collapsed* distinct-text groups (O(g²), g ≈
+  // distinct texts — fine at oracle scale); the Spark side is banded
+  // LSH. They agree iff LSH candidate recall is 1 on the fixture's
+  // true pairs, which holds deterministically for the injected A/B
+  // (J = 0.8, miss ≈ 3e-6) and C/C′ (J ≈ 0.98) pairs — and simhash
+  // chunking has recall 1 *by construction* (pigeonhole).
+
+  private def hex7Duck(e: String): String =
+    (1 to 7).map(i =>
+      s"(instr('0123456789abcdef', substr($e, $i, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString("(", " + ", ")")
+
+  private def hex15Duck(e: String): String =
+    (1 to 15).map(i =>
+      s"(instr('0123456789abcdef', substr($e, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+      .mkString("(", " + ", ")")
+
+  private val normDuckExpr = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+
+  /** Collapsed distinct-text groups (mirror of Dedup.corpusGroups). */
+  private val dedupGroupsCte: String =
+    s""", ddocs AS (
+       |  SELECT url, norm FROM (SELECT url, $normDuckExpr AS norm FROM pages WHERE text IS NOT NULL) t
+       |  WHERE length(norm) > 0),
+       |grp AS (
+       |  SELECT md5(norm) AS fp, min(url) AS rep, min(norm) AS norm,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM ddocs GROUP BY md5(norm))""".stripMargin
+
+  /** Hashed shingle sets + brute-force verified jaccard pairs. */
+  private val minhashPairsCte: String = {
+    val n = graft.dedup.Dedup.ShingleSize
+    s""", w AS (SELECT rep, n_docs, norm, string_split(norm, ' ') AS toks FROM grp),
+       |shl AS (SELECT rep, n_docs,
+       |  CASE WHEN len(toks) < $n THEN [norm]
+       |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |              i -> ${(0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")})) END AS sgs
+       |  FROM w),
+       |shs AS (SELECT rep, n_docs,
+       |  list_distinct(list_transform(sgs, s -> ${hex7Duck("md5(s)")})) AS hs
+       |  FROM shl),
+       |bp AS (
+       |  SELECT a.rep AS url_a, b.rep AS url_b,
+       |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE), 6) AS jaccard,
+       |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+       |  FROM shs a JOIN shs b ON a.rep < b.rep)""".stripMargin
+  }
+
+  val dedupMinhashPairs: String =
+    s"""$cte$dedupGroupsCte$minhashPairsCte
+       |SELECT url_a, url_b, jaccard, n_docs_a, n_docs_b FROM bp
+       |WHERE jaccard >= ${graft.dedup.Dedup.JaccardThreshold}
+       |ORDER BY url_a, url_b""".stripMargin
+
+  private val simhashExprDuck: String =
+    (0 until graft.dedup.Dedup.SimhashBits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(ts, t -> ((t >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val dedupSimhashPairs: String =
+    s"""$cte$dedupGroupsCte, tok AS (
+       |  SELECT rep, n_docs,
+       |    list_transform(string_split(norm, ' '), t -> ${hex15Duck("md5(t)")}) AS ts
+       |  FROM grp),
+       |sh AS (SELECT rep, n_docs, $simhashExprDuck AS h FROM tok)
+       |SELECT a.rep AS url_a, b.rep AS url_b,
+       |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming,
+       |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+       |FROM sh a JOIN sh b ON a.rep < b.rep
+       |WHERE bit_count(xor(a.h, b.h)) <= ${graft.dedup.Dedup.HammingThreshold}
+       |ORDER BY url_a, url_b""".stripMargin
+
+  /** Connected components over the verified pair graph via a recursive
+    * min-reachable-label CTE, fanned out to member documents.
+    */
+  val dedupClusters: String = {
+    val cteRec = cte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cteRec$dedupGroupsCte$minhashPairsCte,
+       |e0 AS (SELECT url_a, url_b FROM bp WHERE jaccard >= ${graft.dedup.Dedup.JaccardThreshold}),
+       |bidir AS (SELECT url_a AS src, url_b AS dst FROM e0 UNION ALL SELECT url_b, url_a FROM e0),
+       |nodes AS (SELECT DISTINCT src AS n FROM bidir UNION SELECT rep FROM grp WHERE n_docs > 1),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT b.dst, r.m FROM reach r JOIN bidir b ON b.src = r.n),
+       |lab AS (SELECT n, min(m) AS cluster_rep FROM reach GROUP BY n)
+       |SELECT DISTINCT d.url, l.cluster_rep
+       |FROM (SELECT url, md5(norm) AS fp FROM ddocs) d
+       |JOIN grp g ON g.fp = d.fp
+       |JOIN lab l ON l.n = g.rep
+       |ORDER BY url, cluster_rep""".stripMargin
+  }
+
   val textFingerprintGroups: String =
     s"""$cte SELECT fp, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url FROM (
        | SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp, url
        | FROM pages WHERE text IS NOT NULL AND length(text) > 0) t
        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
+  // ——— completeness / exists / estimated / multi-lang oracles ———
+
+  private val completenessBase: String =
+    s""", cobs AS (
+       |  SELECT pday, lang FROM pages WHERE lang IS NOT NULL
+       |  GROUP BY pday, lang HAVING count(*) >= 1),
+       |cdays AS (SELECT DISTINCT pday FROM pages),
+       |cld AS (${PageSynth.langDimDuck})""".stripMargin
+
+  val completenessExpected: String =
+    s"""$cte$completenessBase
+       |SELECT pday, n_rows, violations, value, value >= 1.0 AS pass FROM (
+       |  SELECT d.pday, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |    1.0 - CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+       |  FROM cdays d CROSS JOIN cld
+       |  LEFT JOIN cobs o ON o.pday = d.pday AND o.lang = cld.lang
+       |  GROUP BY d.pday) t
+       |ORDER BY pday""".stripMargin
+
+  val completenessMissing: String =
+    s"""$cte$completenessBase
+       |SELECT 'completeness_lang_day' AS check_id, 'MissingExpectedMember' AS kind,
+       |  d.pday AS pday, '*' AS url,
+       |  'expected lang ''' || cld.lang || ''' absent (min 1)' AS detail
+       |FROM cdays d CROSS JOIN cld
+       |LEFT JOIN cobs o ON o.pday = d.pday AND o.lang = cld.lang
+       |WHERE o.lang IS NULL
+       |ORDER BY d.pday, detail""".stripMargin
+
+  private val existsPreds: Seq[(String, String)] = Seq(
+    ("exists_html", "html IS NOT NULL"),
+    ("exists_https_url", "url LIKE 'https://%'"),
+    ("exists_en_text", "lang = 'en' AND text IS NOT NULL AND length(text) > 0"))
+
+  val existsChecks: String = {
+    val parts = existsPreds.map { case (id, w) =>
+      s"""SELECT '$id' AS check_id,
+         | CAST(CASE WHEN EXISTS(SELECT 1 FROM pages WHERE $w) THEN 1 ELSE 0 END AS BIGINT) AS value,
+         | EXISTS(SELECT 1 FROM pages WHERE $w) AS pass""".stripMargin
+    }
+    s"$cte ${parts.mkString("\nUNION ALL\n")}"
+  }
+
+  /** Mirrors Sampling.estimatedUrlConformance: the conform_url check
+    * over the deterministic u256<51 sample, scaled by the measured
+    * ratio (identical double-op order → identical estimates).
+    */
+  val estConformUrl: String =
+    s"""$cte SELECT pday, n_rows, sampled, violations, value, value >= 0.99 AS pass FROM (
+       | SELECT pday, n_rows, sampled,
+       |   CASE WHEN sampled = 0 THEN CAST(0 AS BIGINT)
+       |        ELSE CAST(round(CAST(bad_sampled AS DOUBLE) * CAST(n_rows AS DOUBLE) / CAST(sampled AS DOUBLE), 0) AS BIGINT) END AS violations,
+       |   CASE WHEN sampled = 0 THEN CAST(1.0 AS DOUBLE)
+       |        ELSE 1.0 - CAST(bad_sampled AS DOUBLE) / CAST(sampled AS DOUBLE) END AS value
+       | FROM (
+       |   SELECT pday,
+       |     CAST(sum(CASE WHEN url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+       |     CAST(sum(CASE WHEN url IS NOT NULL AND $u256 < 51 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+       |     CAST(sum(CASE WHEN url IS NOT NULL AND $u256 < 51 AND NOT regexp_matches(url, '${Conformance.UrlRegex}') THEN 1 ELSE 0 END) AS BIGINT) AS bad_sampled
+       |   FROM pages GROUP BY pday) a) b
+       |ORDER BY pday""".stripMargin
+
+  val multiLangUsage: String =
+    s"""$cte SELECT n_langs, CAST(count(*) AS BIGINT) AS n_urls FROM (
+       |  SELECT url, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM pages WHERE lang IS NOT NULL GROUP BY url) t
+       |GROUP BY n_langs ORDER BY n_langs""".stripMargin
+
   /** Whole-suite verdict oracle: the union of the per-family oracles in
     * the CheckSuite's verdict shape.
     */
   val suiteVerdicts: String = {
+    // derived-column relation for the fused family: stopword scores +
+    // argmax + token stats computed once, exactly like the Spark side's
+    // TextOps.withDerived
+    val psCte =
+      s"""ps AS (SELECT *, $bestExpr AS best,
+         |  CAST($nTokDuck AS DOUBLE) AS n_tok_d,
+         |  CAST(coalesce(length(text), 0) AS DOUBLE) AS n_chars_d
+         |FROM (SELECT *, $scoreCols FROM pages) s1)""".stripMargin
+    val qExpr =
+      """least(n_tok_d / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4 + (CASE WHEN n_tok_d > 0 AND (n_chars_d - (n_tok_d - 1)) / n_tok_d >= CAST(3.0 AS DOUBLE) AND (n_chars_d - (n_tok_d - 1)) / n_tok_d <= CAST(10.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3 + least(CAST(s_en AS DOUBLE) / CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.3"""
+    val suitePredsDuck = predsDuck ++ Seq(
+      (graft.model.CheckId.DeclaredVsDerivedLang, "MisreportedLanguage",
+        s"text IS NOT NULL AND length(text) > 0 AND $detectedDuck <> 'und' AND lang IS NOT NULL",
+        s"lang <> $detectedDuck", "lang", 0.5),
+      (graft.model.CheckId.TextQuality, "LowQualityText",
+        "text IS NOT NULL AND length(text) > 0",
+        s"($qExpr) < 0.5", "'quality'", 0.8))
     val fusedPart = {
-      val parts = predsDuck.map { case (id, _, app, bad, _, thr) =>
+      val parts = suitePredsDuck.map { case (id, _, app, bad, _, thr) =>
         s"""SELECT '$id' AS check_id, pday,
            | CAST(sum(CASE WHEN $app THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
            | CAST(sum(CASE WHEN ($app) AND ($bad) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
            | CAST($thr AS DOUBLE) AS threshold
-           |FROM pages GROUP BY pday""".stripMargin
+           |FROM ps GROUP BY pday""".stripMargin
       }
       s"""SELECT check_id, pday, n_rows, violations, value, value >= threshold AS pass FROM (
          |  SELECT check_id, pday, n_rows, violations, threshold,
          |    CASE WHEN n_rows = 0 THEN CAST(1.0 AS DOUBLE)
          |         ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS value
          |  FROM (${parts.mkString("\nUNION ALL\n")}) p) t""".stripMargin
+    }
+    val completenessPart =
+      s"""SELECT 'completeness_lang_day' AS check_id, pday, n_rows, violations, value, value >= 1.0 AS pass FROM (
+         |  SELECT d.pday, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |    1.0 - CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+         |  FROM cdays d CROSS JOIN cld
+         |  LEFT JOIN cobs o ON o.pday = d.pday AND o.lang = cld.lang
+         |  GROUP BY d.pday) t""".stripMargin
+    val estPart =
+      s"""SELECT 'est_conform_url' AS check_id, pday, n_rows, violations, value, value >= 0.99 AS pass FROM (
+         | SELECT pday, n_rows,
+         |   CASE WHEN sampled = 0 THEN CAST(0 AS BIGINT)
+         |        ELSE CAST(round(CAST(bad_sampled AS DOUBLE) * CAST(n_rows AS DOUBLE) / CAST(sampled AS DOUBLE), 0) AS BIGINT) END AS violations,
+         |   CASE WHEN sampled = 0 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE 1.0 - CAST(bad_sampled AS DOUBLE) / CAST(sampled AS DOUBLE) END AS value
+         | FROM (
+         |   SELECT pday,
+         |     CAST(sum(CASE WHEN url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+         |     CAST(sum(CASE WHEN url IS NOT NULL AND $u256 < 51 THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+         |     CAST(sum(CASE WHEN url IS NOT NULL AND $u256 < 51 AND NOT regexp_matches(url, '${Conformance.UrlRegex}') THEN 1 ELSE 0 END) AS BIGINT) AS bad_sampled
+         |   FROM pages GROUP BY pday) a) b""".stripMargin
+    val dupTextPart =
+      s"""SELECT 'dup_text_exact' AS check_id, '*' AS pday,
+         | CAST(sum(n) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS violations,
+         | CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS value,
+         | CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) >= 0.9 AS pass
+         |FROM (SELECT text, count(*) AS n FROM pages WHERE text IS NOT NULL AND length(text) > 0 GROUP BY text) g""".stripMargin
+    val existsParts = existsPreds.map { case (id, w) =>
+      s"""SELECT '$id' AS check_id, '*' AS pday, CAST(1 AS BIGINT) AS n_rows,
+         | CAST(CASE WHEN EXISTS(SELECT 1 FROM pages WHERE $w) THEN 0 ELSE 1 END AS BIGINT) AS violations,
+         | CAST(CASE WHEN EXISTS(SELECT 1 FROM pages WHERE $w) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value,
+         | EXISTS(SELECT 1 FROM pages WHERE $w) AS pass""".stripMargin
     }
     def refPart(checkId: String, factSel: String, dimSql: String, thr: Double) =
       s"""SELECT '$checkId' AS check_id, pday, n_rows, violations, value, value >= $thr AS pass FROM (
@@ -350,18 +625,10 @@ object OracleSql {
     }
     val psiPart = driftPart("drift_lang_psi", "coalesce(lang, 'null')", isKs = false, Drift.PsiThreshold)
     val ksPart = driftPart("drift_hour_ks", hourBin, isKs = true, Drift.KsThreshold)
-    s"""$cte SELECT * FROM (
-       |$fusedPart
-       |UNION ALL
-       |$hostPart
-       |UNION ALL
-       |$langPart
-       |UNION ALL
-       |$uniqPart
-       |UNION ALL
-       |$psiPart
-       |UNION ALL
-       |$ksPart
+    val parts = Seq(fusedPart, completenessPart, estPart, hostPart, langPart,
+      uniqPart, dupTextPart, psiPart, ksPart) ++ existsParts
+    s"""$cte, $psCte$completenessBase SELECT * FROM (
+       |${parts.mkString("\nUNION ALL\n")}
        |) s ORDER BY check_id, pday""".stripMargin
   }
 
@@ -381,6 +648,9 @@ object OracleSql {
     "text_langid" -> textLangId,
     "text_declared_vs_derived" -> textDeclaredVsDerived,
     "text_fingerprint_groups" -> textFingerprintGroups,
+    "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "dedup_clusters" -> dedupClusters,
     "mm_html_meta" -> mmHtmlMeta,
     "mm_html_digests" -> mmHtmlDigests,
     "pages_dump" -> pagesDump,
@@ -400,6 +670,14 @@ object OracleSql {
     "drift_lang_psi" -> driftLangPsi,
     "drift_hour_ks" -> driftHourKs,
     "sample_uniform" -> sampleUniform,
-    "sample_stratified_alloc" -> sampleStratifiedAlloc
+    "sample_stratified_alloc" -> sampleStratifiedAlloc,
+    "sample_stratified_rows" -> sampleStratifiedRows,
+    "knn_brute" -> knnBrute,
+    "emb_near_dup" -> embNearDup,
+    "completeness_expected" -> completenessExpected,
+    "completeness_missing" -> completenessMissing,
+    "exists_checks" -> existsChecks,
+    "est_conform_url" -> estConformUrl,
+    "multi_lang_usage" -> multiLangUsage
   )
 }

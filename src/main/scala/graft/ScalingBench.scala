@@ -92,6 +92,20 @@ object ScalingBench {
       }
       val (tN, docs) = read(n); val (t4N, _) = read(n4)
       val eff = (tN / t4N) / (n4.toDouble / n.toDouble)
+      // machine ceiling from tools/spin_calibrate.py (pure-CPU spin at
+      // the same pinned levels): the engine cannot scale better than
+      // the host backs its vCPUs
+      val ceiling = {
+        val p = Paths.get("BENCH/spin_ceiling.json")
+        if (Files.exists(p)) {
+          val t = Files.readString(p)
+          s""""ceiling_${n}_to_$n4":\\s*([0-9.]+)""".r.findFirstMatchIn(t).map(_.group(1).toDouble)
+        } else None
+      }
+      val ceilingLine = ceiling.map(c =>
+        f"\n**Machine ceiling at the same levels** (pure-CPU spin, zero shared state — " +
+        f"tools/spin_calibrate.py): **$c%.3f**. Engine efficiency relative to what the " +
+        f"host actually backs: **${eff / c}%.3f**.\n").getOrElse("")
       val md =
         s"""# BENCH — metricsspark scaling evidence
            |
@@ -116,7 +130,7 @@ object ScalingBench {
            |
            |**Scaling efficiency (N→4N)** = (T_$n / T_$n4) / 4 = **${"%.3f".format(eff)}**
            |(north-rule target ≥ 0.8)
-           |
+           |$ceilingLine
            |Audit: every (check, partition) assessed exactly once per run —
            |verified by RuntimeSpec "interrupted run resumes" and the audit
            |table row counts.

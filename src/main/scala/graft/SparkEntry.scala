@@ -44,6 +44,17 @@ object SparkEntry {
     "unique_url_groups" -> ((s, dir) => Uniqueness.duplicateUrls(pages(s, dir))),
     "dup_text_groups" -> ((s, dir) => Uniqueness.duplicateTexts(pages(s, dir))),
     "latest_snapshot" -> ((s, dir) => Uniqueness.latestSnapshot(pages(s, dir))),
+    // dim→fact expected-member completeness (#3: gold members + condition op)
+    "completeness_expected" -> ((s, dir) =>
+      Completeness.expectedLangByDay(pages(s, dir), PageSynth.langDim(s))),
+    "completeness_missing" -> ((s, dir) =>
+      Completeness.missingLangMembers(pages(s, dir), PageSynth.langDim(s))),
+    // exists-style boolean probes (#23 PresenceOfURIRegEx, #34/#35 accessibility)
+    "exists_checks" -> ((s, dir) => Exists.results(pages(s, dir))),
+    // sampled-estimate composition (#28/#32 Estimated* family)
+    "est_conform_url" -> ((s, dir) => Sampling.estimatedUrlConformance(pages(s, dir))),
+    // per-entity language-count distribution (#21 MultipleLanguageUsage)
+    "multi_lang_usage" -> ((s, dir) => Stats.multiLangUsage(pages(s, dir))),
     // referential vs dimension snapshots
     "ref_host_day" -> ((s, dir) =>
       Referential.hostCheckByDay(pages(s, dir), PageSynth.hostDim(s))),
@@ -60,6 +71,7 @@ object SparkEntry {
     // deterministic sampling
     "sample_uniform" -> ((s, dir) => Sampling.uniformSampleStats(pages(s, dir))),
     "sample_stratified_alloc" -> ((s, dir) => Sampling.stratifiedAllocation(pages(s, dir))),
+    "sample_stratified_rows" -> ((s, dir) => Sampling.stratifiedSample(pages(s, dir))),
     // multimodal binary-column plumbing + byte-identity invariant
     "mm_html_meta" -> ((s, dir) => graft.multimodal.Multimodal.htmlMeta(pages(s, dir))),
     "mm_html_digests" -> ((s, dir) => graft.multimodal.Multimodal.htmlDigests(pages(s, dir))),
@@ -69,10 +81,11 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => graft.text.TextOps.langConfusion(pages(s, dir))),
     "text_declared_vs_derived" -> ((s, dir) => graft.text.TextOps.declaredVsDerived(pages(s, dir))),
     "text_fingerprint_groups" -> ((s, dir) => graft.text.TextOps.fingerprintGroups(pages(s, dir))),
-    // near-duplicate detection (LSH; driver checks rows-only — the
-    // exact-Jaccard oracle is the in-repo bruteJaccardPairs + ScalaTest)
+    // near-duplicate detection (LSH over collapsed distinct-text
+    // groups; full DuckDB value oracles — both engines hash via md5)
     "dedup_minhash_pairs" -> ((s, dir) => graft.dedup.Dedup.minhashPairs(pages(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(pages(s, dir))),
+    "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.clusters(pages(s, dir))),
     // similarity search over embeddings (+ injected near-dup copies)
     "knn_brute" -> ((s, dir) => {
       val v = graft.synth.EmbSynth.vectors(s, dir)

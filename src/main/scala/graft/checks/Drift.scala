@@ -41,18 +41,40 @@ object Drift {
     * row-at-a-time typed path deserializes every row and was measured
     * 8× slower at 2M docs.
     */
-  def twoSampleHist(pages: DataFrame, bin: org.apache.spark.sql.Column): Map[String, Map[String, Long]] =
-    pages.withColumn("pday", FusedChecks.pday)
+  /** Bin-count bound for the driver-side fold: `bin` values come from
+    * attacker-controlled input (`lang` is whatever the crawl declared),
+    * so the collected histogram is capped at the top-K bins by total
+    * count, everything else folded into '(other)'. The cap runs on the
+    * *already aggregated* cells — no extra table scan — and keeps the
+    * '(other)' mass, so PSI/KS still see the full population.
+    */
+  val MaxBins = 1000
+
+  private def capBins(cells: DataFrame, maxBins: Int): DataFrame = {
+    val top = cells.groupBy("bin").agg(sum("count").as("t"))
+      .orderBy(col("t").desc, col("bin")).limit(maxBins)
+      .select(col("bin"), lit(true).as("keep"))
+    cells.join(broadcast(top), Seq("bin"), "left")
+      .select(col("side"),
+        when(col("keep"), col("bin")).otherwise(lit("(other)")).as("bin"),
+        col("count"))
+      .groupBy("side", "bin").agg(sum("count").as("count"))
+  }
+
+  def twoSampleHist(pages: DataFrame, bin: org.apache.spark.sql.Column): Map[String, Map[String, Long]] = {
+    val cells = pages.withColumn("pday", FusedChecks.pday)
       .where(col("pday") >= WindowLo && col("pday") < WindowHi)
       .select(
         when(col("pday") >= SplitDay, "cur").otherwise("base").as("side"),
         bin.cast("string").as("bin"))
       .groupBy("side", "bin").count()
+    capBins(cells, MaxBins)
       .collect()
       .groupBy(_.getString(0))
       .map { case (side, rows) =>
         side -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
       }
+  }
 
   /** Both drift checks (lang PSI + hour KS) from ONE table scan: a
     * single (side, lang, hour) grouping — ≤ 2·K_lang·24 cells, so the
@@ -62,13 +84,23 @@ object Drift {
     * grouping does strictly less work.)
     */
   def combined(pages: DataFrame): DataFrame = {
-    val cells = pages.withColumn("pday", FusedChecks.pday)
+    val joint = pages.withColumn("pday", FusedChecks.pday)
       .where(col("pday") >= WindowLo && col("pday") < WindowHi)
       .select(
         when(col("pday") >= SplitDay, "cur").otherwise("base").as("side"),
         coalesce(col("lang"), lit("null")).as("lang_bin"),
         lpad(hour(col("warc_ts")).cast("string"), 2, "0").as("hour_bin"))
       .groupBy("side", "lang_bin", "hour_bin").count()
+    // cap the unbounded (lang) dimension on the aggregated cells; hour
+    // is structurally ≤ 25 bins
+    val top = joint.groupBy("lang_bin").agg(sum("count").as("t"))
+      .orderBy(col("t").desc, col("lang_bin")).limit(MaxBins)
+      .select(col("lang_bin"), lit(true).as("keep"))
+    val cells = joint.join(broadcast(top), Seq("lang_bin"), "left")
+      .select(col("side"),
+        when(col("keep"), col("lang_bin")).otherwise(lit("(other)")).as("lang_bin"),
+        col("hour_bin"), col("count"))
+      .groupBy("side", "lang_bin", "hour_bin").agg(sum("count").as("count"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     def marginal(bin: ((String, String, String, Long)) => String): Map[String, Map[String, Long]] =

@@ -20,6 +20,15 @@ import org.apache.spark.sql.expressions.Window
   * the uniform case (a pure filter, pushed next to the scan), and
   * (c) exactly mergeable. md5 is used as the hash because the DuckDB
   * oracle computes the identical digest.
+  *
+  * Skew (round-2 fix): the host key is 40%-skewed by construction, so a
+  * `Window.partitionBy(host)` over the full table sorts the head host
+  * in one task. The allocation table needs no window at all (a count
+  * aggregate determines the per-stratum take exactly), and the sample
+  * rows use a salted two-phase top-k: rank within (host, salt) first —
+  * bounding every sort group to ~1/32 of a stratum — then rank the
+  * ≤32·cap survivors per host. The union of per-salt top-`take` rows
+  * provably contains the global top-`take`, so the result is exact.
   */
 object Sampling {
 
@@ -27,6 +36,9 @@ object Sampling {
     * Rendered as SQL text that parses identically in Spark and DuckDB.
     */
   val U256Sql = "(instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(url), 2, 1)) - 1)"
+
+  /** Salt fan-out for the two-phase top-k. */
+  val Salts = 32
 
   /** Uniform ~20% sample (u256 < 51): deterministic analog of the
     * reference's uniform reservoirs. A pure filter — no shuffle.
@@ -43,45 +55,83 @@ object Sampling {
       sum(when(expr(U256Sql) < threshold256, 1L).otherwise(0L)).as("sampled"))
       .withColumn("frac", col("sampled").cast("double") / col("n_rows").cast("double"))
 
-  /** Proportional-allocation stratified sample by host with a
-    * per-stratum cap: per host take ceil(20%) of its rows, at most
-    * `cap`, choosing rows by md5 order (deterministic).
-    * Output (host, stratum_rows, sample_rows) per host — the allocation
-    * table, mirroring EstimatedDereferenceabilityByStratified's
-    * per-TLD share computation (:152-173).
+  /** Sampled-check composition (the reference's Estimated* family,
+    * e.g. EstimatedUsageOfIncorrectDomainOrRangeDatatypes.java:153-224):
+    * run the url-conformance predicate over the deterministic ~20%
+    * uniform sample, scale the violation count back up by the measured
+    * sampling ratio, and report the estimated per-day verdict. One
+    * column-pruned scan computes full counts, sample counts, and sample
+    * violations together. Audit rows for this check carry
+    * `estimate = true` (CheckSuite flags `est_*` ids).
+    *
+    * Output: (pday, n_rows, sampled, violations, value, pass) where
+    * `violations` is the scaled estimate and `value` the in-sample
+    * conformance ratio (the ratio estimator — the sampling fraction
+    * cancels).
     */
-  def stratifiedAllocation(pages: DataFrame, cap: Int = 25): DataFrame = {
-    val withHost = pages
-      .withColumn("host", Referential.hostExpr)
-      .where(col("host") =!= "")
-    val w = Window.partitionBy(col("host"))
-      .orderBy(md5(col("url")), col("url"), coalesce(col("warc_ts").cast("long"), lit(-1L)))
-    withHost
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("stratum_rows", count(lit(1)).over(Window.partitionBy(col("host"))))
-      .withColumn("take",
-        least(lit(cap.toLong), floor((col("stratum_rows") + 4) / lit(5.0)).cast("long")))
-      .groupBy(col("host"))
+  def estimatedUrlConformance(pages: DataFrame, threshold256: Int = 51): DataFrame = {
+    val p = graft.checks.Conformance.byId("conform_url")
+    val inSample = expr(U256Sql) < threshold256
+    pages.withColumn("pday", FusedChecks.pday)
+      .groupBy(col("pday"))
       .agg(
-        max(col("stratum_rows")).as("stratum_rows"),
-        sum(when(col("rnk") <= col("take"), 1L).otherwise(0L)).as("sample_rows"))
-      .orderBy("host")
+        sum(when(p.applicable, 1L).otherwise(0L)).as("n_rows"),
+        sum(when(p.applicable && inSample, 1L).otherwise(0L)).as("sampled"),
+        sum(when(p.applicable && inSample && p.bad, 1L).otherwise(0L)).as("bad_sampled"))
+      .withColumn("violations",
+        when(col("sampled") === 0, 0L).otherwise(
+          round(col("bad_sampled").cast("double") * col("n_rows").cast("double")
+            / col("sampled").cast("double"), 0).cast("long")))
+      .withColumn("value",
+        when(col("sampled") === 0, 1.0).otherwise(
+          lit(1.0) - col("bad_sampled").cast("double") / col("sampled").cast("double")))
+      .withColumn("pass", col("value") >= p.threshold)
+      .select("pday", "n_rows", "sampled", "violations", "value", "pass")
+      .orderBy("pday")
   }
 
-  /** The stratified sample rows themselves (url + host), for downstream
-    * estimated checks.
+  private def withHost(pages: DataFrame): DataFrame =
+    pages.withColumn("host", Referential.hostExpr).where(col("host") =!= "")
+
+  private def takeExpr(n: org.apache.spark.sql.Column, cap: Int) =
+    least(lit(cap.toLong), floor((n + 4) / lit(5.0)).cast("long"))
+
+  /** Proportional-allocation table by host with a per-stratum cap:
+    * per host take ceil(20%) of its rows, at most `cap`. Pure count
+    * aggregate — no window, no skew exposure. Output
+    * (host, stratum_rows, sample_rows), mirroring
+    * EstimatedDereferenceabilityByStratified's per-TLD share
+    * computation (:152-173).
+    */
+  def stratifiedAllocation(pages: DataFrame, cap: Int = 25): DataFrame =
+    withHost(pages)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("stratum_rows"))
+      .select(col("host"), col("stratum_rows"),
+        takeExpr(col("stratum_rows"), cap).as("sample_rows"))
+      .orderBy("host")
+
+  /** The stratified sample rows themselves (host, url): per host the
+    * `take` rows with the smallest md5(url) (deterministic choice).
+    * Exact, via the salted two-phase top-k described in the class doc.
     */
   def stratifiedSample(pages: DataFrame, cap: Int = 25): DataFrame = {
-    val withHost = pages
-      .withColumn("host", Referential.hostExpr)
-      .where(col("host") =!= "")
-    val w = Window.partitionBy(col("host"))
-      .orderBy(md5(col("url")), col("url"), coalesce(col("warc_ts").cast("long"), lit(-1L)))
-    val cnt = Window.partitionBy(col("host"))
-    withHost
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("take",
-        least(lit(cap.toLong), floor((count(lit(1)).over(cnt) + 4) / lit(5.0)).cast("long")))
+    val rows = withHost(pages)
+      .select(col("host"), col("url"),
+        coalesce(col("warc_ts").cast("long"), lit(-1L)).as("ts"))
+    val takes = rows.groupBy("host").agg(count(lit(1)).as("n"))
+      .select(col("host"), takeExpr(col("n"), cap).as("take"))
+    val salted = rows.withColumn("salt", pmod(xxhash64(col("url")), lit(Salts.toLong)))
+    val w1 = Window.partitionBy(col("host"), col("salt"))
+      .orderBy(md5(col("url")), col("url"), col("ts"))
+    val survivors = salted
+      .withColumn("r1", row_number().over(w1))
+      .join(broadcast(takes), "host")
+      .where(col("r1") <= col("take")) // ≤ Salts·cap rows per host remain
+    val w2 = Window.partitionBy(col("host"))
+      .orderBy(md5(col("url")), col("url"), col("ts"))
+    survivors
+      .withColumn("rnk", row_number().over(w2))
       .where(col("rnk") <= col("take"))
       .select(col("host"), col("url"))
       .orderBy("host", "url")

@@ -46,6 +46,19 @@ object Stats {
         countDistinct(when(col("host") =!= "", col("host"))).as("distinct_host"))
       .orderBy("pday")
 
+  /** Per-entity language-count distribution (#21 MultipleLanguageUsage,
+    * versatility/.../MultipleLanguageUsage.java:52-89: per-subject
+    * label-language sets → here per-url distinct declared langs across
+    * crawls). Output: (n_langs, n_urls) histogram, ordered. Two chained
+    * hash aggregations — url is high-cardinality/low-skew, and the
+    * second groupBy is over ≤ #langs tiny rows.
+    */
+  def multiLangUsage(pages: DataFrame): DataFrame =
+    pages.where(col("lang").isNotNull)
+      .groupBy(col("url")).agg(countDistinct(col("lang")).as("n_langs"))
+      .groupBy(col("n_langs")).agg(count(lit(1)).as("n_urls"))
+      .orderBy("n_langs")
+
   /** Approximate distinct via HyperLogLog++ next to the exact count.
     * Reference analog: #2 EstimatedExtensionalConciseness's RLBS Bloom
     * approximation (k=13, m=5.5e6, fpp 0.01); HLL++ rsd=0.01 is the

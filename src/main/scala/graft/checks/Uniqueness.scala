@@ -90,13 +90,23 @@ object Uniqueness {
     * actual url — which also makes the listing exact under hash
     * collisions.
     */
+  /** Above this many duplicate hashes, fall back from a broadcast to a
+    * shuffle semi-join: "tiny by construction" only holds for healthy
+    * data — a crawler bug that re-crawls everything makes dupHashes ≈
+    * all urls, and broadcasting that would OOM the driver.
+    */
+  val MaxBroadcastDupHashes = 5000000L
+
   def violations(pages: DataFrame, ordered: Boolean = true): DataFrame = {
     val dupHashes = pages.select(xxhash64(col("url")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("hn"))
       .where(col("hn") > 1)
       .select(col("h"))
+      .persist()
+    val dupSide =
+      if (dupHashes.count() <= MaxBroadcastDupHashes) broadcast(dupHashes) else dupHashes
     val groups = pages
-      .join(broadcast(dupHashes), xxhash64(col("url")) === col("h"), "left_semi")
+      .join(dupSide, xxhash64(col("url")) === col("h"), "left_semi")
       .groupBy(col("url")).agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 1)
     (if (ordered) groups.orderBy("url") else groups).select(

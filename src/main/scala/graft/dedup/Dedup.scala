@@ -4,37 +4,60 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
-/** Near-duplicate detection over the text column: MinHash+LSH,
-  * SimHash, and exact n-gram Jaccard verification.
+/** Near-duplicate detection over the text column: MinHash+LSH, SimHash,
+  * exact n-gram Jaccard verification, and duplicate-cluster formation.
   *
   * Reference analog: #1 ExtensionalConciseness detects duplicate
   * entities O(n²) pairwise (intrinsic/.../ExtensionalConciseness.java:92-134)
   * and #2 approximates it with Bloom filters
-  * (EstimatedExtensionalConciseness.java:40-45). Here the scalable
-  * re-expression is LSH banding: per-row signatures (linear, codegen'd
-  * column expressions — no UDFs), explode to (band, bucket) keys, and a
-  * bucket-local self-join — candidate pairs only, never the full cross
-  * product. At 100 TB the shuffle carries one ~16-entry band array per
-  * document, and bucket joins are bounded by bucket size.
+  * (EstimatedExtensionalConciseness.java:40-45). The scalable
+  * re-expression is LSH banding — candidate pairs only, never the full
+  * cross product — with two structural guarantees for 100 TB inputs:
   *
-  * All hash seeds are fixed → identical output across runs and
-  * parallelism levels.
+  *  1. **Exact duplicates collapse first.** Web corpora are dominated by
+  *     byte-identical boilerplate; every member of an exact-dup group
+  *     shares every band, so running LSH on raw documents makes each
+  *     boilerplate bucket quadratic (|group|²·bands candidate pairs —
+  *     203 s at 5k docs in round 1). Grouping by normalized-text
+  *     fingerprint first ([[corpusGroups]]) reduces the LSH input to
+  *     *distinct texts* and re-attaches group sizes to the output.
+  *  2. **Only 8–16-byte keys cross the band shuffle.** The band join
+  *     carries (rep, band_id, band_hash); shingle arrays are joined
+  *     back *after* candidate generation, from a compact
+  *     (rep, array<long>) side, only for the pairs that need exact
+  *     Jaccard verification.
+  *
+  * All hashing is md5-derived (no xxhash64) so the DuckDB oracle
+  * recomputes the identical signatures/fingerprints — every operator
+  * here is value-verified end-to-end, not just row-counted.
   */
 object Dedup {
 
-  val NumHashes = 64
-  val Bands = 16
-  val RowsPerBand = 4 // NumHashes / Bands
+  val NumHashes = 96
+  val Bands = 24
+  val RowsPerBand = 4 // NumHashes / Bands; candidate threshold ≈ (1/24)^(1/4) ≈ 0.45
   val ShingleSize = 3
   val JaccardThreshold = 0.7
+
+  /** SimHash: 60 bits (15 hex digits of md5 per token), 4 chunks of 15
+    * bits. Pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so the
+    * chunk join has recall 1 *by construction*. 15-bit chunks keep
+    * buckets at N/32768 per chunk value — wider chunks are the only way
+    * chunk-LSH survives 10^12 rows, which is why the hamming bound
+    * stays small and the long-document C/C′ pair is the fixture for it.
+    */
+  val SimhashBits = 60
+  val SimhashChunks = 4
+  val ChunkBits = 15
   val HammingThreshold = 3
 
   // Fixed Carter-Wegman permutations h_j(x) = (a_j·x + b_j) mod P for
   // minhash (seeded). The mod is essential: an affine map without it is
   // order-preserving, so every "independent" hash would select the same
   // argmin and the bands would carry no independent information. The
-  // 31-bit domain keeps a·x < 2^62 — ANSI mode (Spark 4 default) raises
-  // on long overflow, so the overflow-wrapping trick is off the table.
+  // 28-bit shingle domain keeps a·x < 2^59 — ANSI mode (Spark 4
+  // default) raises on long overflow, and DuckDB checks BIGINT overflow
+  // too, so both engines need the product bounded.
   private[dedup] val MersenneP = 2147483647L // 2^31 - 1
   private val rnd = new Random(20240101L)
   private[dedup] val CoefA: IndexedSeq[Long] =
@@ -42,129 +65,224 @@ object Dedup {
   private[dedup] val CoefB: IndexedSeq[Long] =
     IndexedSeq.fill(NumHashes)(math.abs(rnd.nextLong()) % MersenneP)
 
-  /** Distinct word n-gram shingles; whole text as single shingle when
-    * shorter than n tokens.
+  /** Whitespace-normalized text (the fingerprint domain). */
+  def normText(text: Column): Column = regexp_replace(trim(text), "\\s+", " ")
+
+  /** Distinct-text groups: one row per normalized-text fingerprint with
+    * its representative (min url), the normalized text, and the member
+    * count. This is the input to every near-dup operator — the exact-dup
+    * collapse that bounds LSH bucket sizes.
     */
-  def shingles(text: Column, n: Int = ShingleSize): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(size(toks) < n, array(concat_ws(" ", toks)))
+  def corpusGroups(pages: DataFrame): DataFrame =
+    pages.where(col("text").isNotNull)
+      .select(col("url"), normText(col("text")).as("norm"))
+      .where(length(col("norm")) > 0)
+      .groupBy(md5(col("norm")).as("fp"))
+      .agg(min(col("url")).as("rep"), min(col("norm")).as("norm"),
+        count(lit(1)).as("n_docs"))
+
+  /** Distinct word n-gram shingles over normalized text; whole text as
+    * single shingle when shorter than n tokens.
+    */
+  def shingles(norm: Column, n: Int = ShingleSize): Column = {
+    val toks = split(norm, " ")
+    when(size(toks) < n, array(norm))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** MinHash signature (NumHashes values) from the shingle set: one
-    * xxhash64 per shingle, then NumHashes affine maps + array_min.
+  /** First 7 hex digits of md5 → 28-bit integer (DuckDB mirrors this
+    * digit-by-digit; `conv` is the Spark spelling of the same value).
     */
-  def signature(shingleCol: Column): Column = {
-    val hs = transform(shingleCol, s => pmod(xxhash64(s), lit(1L << 31)))
+  private def hex7Int(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** 60-bit integer from the first 15 hex digits of md5. */
+  private def hex15Int(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Shingle set as 28-bit integers — the compact verification payload
+    * (an ~100-entry long array instead of the raw text n-grams).
+    */
+  def hashedShingles(norm: Column): Column =
+    array_distinct(transform(shingles(norm), s => hex7Int(s)))
+
+  /** MinHash signature (NumHashes values) from the hashed shingle set. */
+  def signature(hs: Column): Column =
     array((0 until NumHashes).map { j =>
       array_min(transform(hs, h => pmod(h * lit(CoefA(j)) + lit(CoefB(j)), lit(MersenneP))))
     }: _*)
-  }
 
-  /** LSH band keys: Bands entries of (band_id, xxhash64 of the band's
-    * signature slice).
+  /** LSH band keys: Bands entries of (band_id, md5 of the band's
+    * signature slice rendered as "v,v,v,v").
     */
   def bandKeys(sig: Column): Column =
     array((0 until Bands).map { b =>
       struct(lit(b).as("band_id"),
-        xxhash64(lit(b), slice(sig, b * RowsPerBand + 1, RowsPerBand)).as("band_hash"))
+        md5(concat_ws(",", (0 until RowsPerBand).map(r =>
+          element_at(sig, b * RowsPerBand + r + 1).cast("string")): _*)).as("band_hash"))
     }: _*)
 
-  /** Input normalization for the text-dedup family: distinct non-empty
-    * (url, text) pairs.
+  /** Exact Jaccard over hashed shingle sets, rounded for cross-engine
+    * value parity.
     */
-  def corpus(pages: DataFrame): DataFrame =
-    pages.where(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("url"), col("text")).distinct()
-
-  /** Exact Jaccard over shingle sets — used to verify LSH candidates. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    round(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double"), 6)
 
-  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
-    * Output: (url_a, url_b, jaccard) with jaccard ≥ threshold, ordered.
+  /** MinHash+LSH near-duplicate *representative* pairs, verified with
+    * exact Jaccard. Output: (url_a, url_b, jaccard, n_docs_a, n_docs_b)
+    * with jaccard ≥ threshold, ordered — url_a/url_b are the min-url
+    * representatives of two distinct-text groups, n_docs_* the group
+    * sizes (the fan-out accounting; emitting all member pairs would be
+    * quadratic in group size by definition).
     */
   def minhashPairs(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val docs = corpus(pages)
-      .withColumn("sh", shingles(col("text")))
-      .withColumn("bands", bandKeys(signature(col("sh"))))
-      .select(col("url"), col("sh"), explode(col("bands")).as("b"))
-      .select(col("url"), col("sh"), col("b.band_id"), col("b.band_hash"))
-    val l = docs.select(col("url").as("url_a"), col("sh").as("sh_a"),
-      col("band_id"), col("band_hash"))
-    val r = docs.select(col("url").as("url_b"), col("sh").as("sh_b"),
-      col("band_id"), col("band_hash"))
-    l.join(r, Seq("band_id", "band_hash"))
-      .where(col("url_a") < col("url_b"))
-      .select(col("url_a"), col("url_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    val sh = corpusGroups(pages)
+      .select(col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
+    // band join: keys only, no arrays
+    val bands = sh.select(col("rep"), explode(bandKeys(signature(col("hs")))).as("b"))
+      .select(col("rep"), col("b.band_id"), col("b.band_hash"))
+    val cand = bands.select(col("rep").as("rep_a"), col("band_id"), col("band_hash"))
+      .join(bands.select(col("rep").as("rep_b"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .where(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b").distinct()
+    // verification join: compact (rep, int-array, size) side, pairs only
+    val a = sh.select(col("rep").as("rep_a"), col("hs").as("hs_a"), col("n_docs").as("n_docs_a"))
+    val b = sh.select(col("rep").as("rep_b"), col("hs").as("hs_b"), col("n_docs").as("n_docs_b"))
+    cand.join(a, "rep_a").join(b, "rep_b")
+      .select(col("rep_a").as("url_a"), col("rep_b").as("url_b"),
+        jaccard(col("hs_a"), col("hs_b")).as("jaccard"),
+        col("n_docs_a"), col("n_docs_b"))
       .where(col("jaccard") >= threshold)
-      .distinct()
       .orderBy("url_a", "url_b")
   }
 
-  /** 64-bit SimHash over whitespace tokens (per-bit majority vote of
-    * token hashes), as a pure column expression.
+  /** Per-token 60-bit hashes over normalized text (with repeats —
+    * simhash weights by term frequency).
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(split(trim(text), "\\s+"), t => xxhash64(t))
-    (0 until 64).map { i =>
+  def tokenHashes(norm: Column): Column =
+    transform(split(norm, " "), t => hex15Int(t))
+
+  /** 60-bit SimHash (per-bit majority vote of token hashes), as a pure
+    * column expression.
+    */
+  def simhash(norm: Column): Column = {
+    val hs = tokenHashes(norm)
+    (0 until SimhashBits).map { i =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash near-duplicate pairs: candidates blocked on any equal
-    * 16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks
-    * equal), verified with bit_count(xor) ≤ threshold.
-    * Output: (url_a, url_b, hamming), ordered.
+  /** SimHash near-duplicate representative pairs: candidates blocked on
+    * any equal 15-bit chunk (pigeonhole-complete for hamming ≤ 3),
+    * verified with bit_count(xor). Output
+    * (url_a, url_b, hamming, n_docs_a, n_docs_b), ordered.
     */
   def simhashPairs(pages: DataFrame, maxHamming: Int = HammingThreshold): DataFrame = {
-    val docs = corpus(pages).withColumn("sh64", simhash(col("text")))
-    val chunks = docs.select(col("url"), col("sh64"),
-      explode(array((0 until 4).map { c =>
+    val docs = corpusGroups(pages)
+      .select(col("rep"), col("n_docs"), simhash(col("norm")).as("sh64"))
+    val chunks = docs.select(col("rep"), col("sh64"), col("n_docs"),
+      explode(array((0 until SimhashChunks).map { c =>
         struct(lit(c).as("chunk_id"),
-          shiftright(col("sh64"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))
+          shiftright(col("sh64"), c * ChunkBits)
+            .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
       }: _*)).as("c"))
-      .select(col("url"), col("sh64"), col("c.chunk_id"), col("c.chunk_val"))
-    val l = chunks.select(col("url").as("url_a"), col("sh64").as("h_a"),
-      col("chunk_id"), col("chunk_val"))
-    val r = chunks.select(col("url").as("url_b"), col("sh64").as("h_b"),
-      col("chunk_id"), col("chunk_val"))
+      .select(col("rep"), col("sh64"), col("n_docs"), col("c.chunk_id"), col("c.chunk_val"))
+    val l = chunks.select(col("rep").as("url_a"), col("sh64").as("h_a"),
+      col("n_docs").as("n_docs_a"), col("chunk_id"), col("chunk_val"))
+    val r = chunks.select(col("rep").as("url_b"), col("sh64").as("h_b"),
+      col("n_docs").as("n_docs_b"), col("chunk_id"), col("chunk_val"))
     l.join(r, Seq("chunk_id", "chunk_val"))
       .where(col("url_a") < col("url_b"))
       .select(col("url_a"), col("url_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"),
+        col("n_docs_a"), col("n_docs_b"))
       .where(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("url_a", "url_b")
   }
 
-  /** Brute-force n-gram Jaccard pairs (the small-scale oracle for the
-    * LSH path; O(n²) — only for bounded inputs / tests).
+  /** Brute-force Jaccard pairs over the collapsed groups (the O(g²)
+    * exact baseline for the LSH path; tests / bounded inputs only).
     */
   def bruteJaccardPairs(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val docs = corpus(pages).withColumn("sh", shingles(col("text")))
-    val l = docs.select(col("url").as("url_a"), col("sh").as("sh_a"))
-    val r = docs.select(col("url").as("url_b"), col("sh").as("sh_b"))
-    l.crossJoin(r)
+    val sh = corpusGroups(pages)
+      .select(col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
+    val a = sh.select(col("rep").as("url_a"), col("hs").as("hs_a"), col("n_docs").as("n_docs_a"))
+    val b = sh.select(col("rep").as("url_b"), col("hs").as("hs_b"), col("n_docs").as("n_docs_b"))
+    a.crossJoin(b)
       .where(col("url_a") < col("url_b"))
-      .select(col("url_a"), col("url_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .select(col("url_a"), col("url_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"),
+        col("n_docs_a"), col("n_docs_b"))
       .where(col("jaccard") >= threshold)
       .orderBy("url_a", "url_b")
   }
 
-  /** Dedup-rate summary: documents, distinct fingerprints, near-dup
-    * pairs found (minhash), as a one-row report.
+  /** Duplicate-cluster formation: connected components over the
+    * verified near-dup pair graph, plus exact-dup groups as singleton
+    * clusters, fanned back out to every member document. Output:
+    * (url, cluster_rep) for every document that belongs to a duplicate
+    * cluster (exact or near), ordered — the map a training-data
+    * pipeline uses to keep one representative per cluster.
+    *
+    * The pair graph is a small fraction of the corpus (defect-rate
+    * bounded), so iterative min-label propagation — O(diameter) rounds
+    * of join + min-aggregate over the *edge set only* — is the
+    * distributed shape; the full corpus is touched exactly twice (group
+    * + fan-out), never inside the loop.
+    *
+    * Reference analog: ExtensionalConciseness counts unique *subjects*
+    * (entities), not pairs (ExtensionalConciseness.java:92-140) — the
+    * cluster map is what turns pairs back into entity-level dedup.
     */
-  def summary(pages: DataFrame): DataFrame = {
-    val docs = corpus(pages)
-    val spark = pages.sparkSession
-    import spark.implicits._
-    Seq((docs.count(), minhashPairs(pages).count()))
-      .toDF("n_docs", "near_dup_pairs")
+  def clusters(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val groups = corpusGroups(pages).persist()
+    val pairs = minhashPairs(pages, threshold).select(col("url_a"), col("url_b"))
+    val edges = pairs
+      .union(pairs.select(col("url_b"), col("url_a")))
+      .toDF("src", "dst").persist()
+
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val msgs = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select("node", "label").union(msgs)
+        .groupBy("node").agg(min("label").as("label")).persist()
+      changed = next.as("n").join(labels.as("o"), "node")
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"cluster label propagation did not converge in $iter rounds")
+
+    // exact-dup groups with no near-dup edge form their own cluster
+    val dupReps = groups.where(col("n_docs") > 1).select(col("rep").as("node"))
+      .except(labels.select("node"))
+      .withColumn("label", col("node"))
+    val allLabels = labels.select("node", "label").union(dupReps)
+
+    val docs = pages.where(col("text").isNotNull)
+      .select(col("url"), normText(col("text")).as("norm"))
+      .where(length(col("norm")) > 0)
+      .select(col("url"), md5(col("norm")).as("fp"))
+    val out = docs
+      .join(groups.select(col("fp"), col("rep")), "fp")
+      .join(allLabels, col("rep") === col("node"))
+      .select(col("url"), col("label").as("cluster_rep"))
+      .distinct()
+      .orderBy("url", "cluster_rep")
+    // NB: groups/labels stay persisted until the returned plan executes;
+    // they are distinct-text- and edge-scale (small), not corpus-scale.
+    edges.unpersist()
+    out
   }
 }

@@ -81,6 +81,9 @@ object ViolationKind {
   val OutOfRange         = "OutOfRangeTimestamp" // warc_ts outside accepted window
   val DistributionDrift  = "DistributionDrift"   // KS/PSI above threshold
   val NearDuplicate      = "NearDuplicate"       // minhash/simhash/embedding near-dup
+  val MissingMember      = "MissingExpectedMember" // dim member absent from the data (DataCubePopulationCompleteness problem bag)
+  val MisreportedLanguage = "MisreportedLanguage" // declared lang ≠ derived lang (#31 MisreportedContentType analog)
+  val LowQualityText     = "LowQualityText"      // quality score under threshold
 }
 
 /** Check identifiers, with the mapping from every reference metric
@@ -121,6 +124,15 @@ object CheckId {
   // Sampling family (refs #28–#30, #33 stratified/uniform estimates)
   val StratifiedSample = "sample_stratified_host"
   val UniformSample    = "sample_uniform"
+  val EstUrlConformance = "est_conform_url"      // sampled-estimate composition (#28 Estimated* family)
+
+  // Completeness / quality / exists families (round 2)
+  val LangCompleteness = "completeness_lang_day" // dim→fact expected members (#3)
+  val TextQuality      = "text_quality"
+  val MultiLangUsage   = "multi_lang_usage"      // #21 per-entity lang-count distribution
+  val ExistsHtml       = "exists_html"           // #34 RDFAccessibility (≥1 fetchable payload)
+  val ExistsHttpsUrl   = "exists_https_url"      // #23 PresenceOfURIRegEx (≥1 url matching the pattern)
+  val ExistsEnText     = "exists_en_text"        // #35 SPARQLAccessibility shape (≥1 queryable doc)
 
   /** Reference metric #n → check ids that re-express it (for the judge's
     * SURVEY §2 line-by-line coverage walk).
@@ -128,7 +140,7 @@ object CheckId {
   val referenceCoverage: Map[Int, Seq[String]] = Map(
     1  -> Seq(TextDuplicates, UrlUniqueness),       // ExtensionalConciseness
     2  -> Seq(ApproxDistinct),                      // EstimatedExtensionalConciseness
-    3  -> Seq(NullStats, LangReferential),          // DataCubePopulationCompleteness
+    3  -> Seq(LangCompleteness, NullStats, LangReferential), // DataCubePopulationCompleteness (gold members + condition op)
     4  -> Seq(UrlConformance, TsConformance),       // CompatibleDatatype
     5  -> Seq(LangConformance, DeclaredVsDerivedLang), // CorrectLanguageTag
     6  -> Seq(UrlUniqueness),                       // ValidIFPUsage
@@ -146,21 +158,21 @@ object CheckId {
     18 -> Seq(LangReferential),                     // ReuseExistingTerms
     19 -> Seq(NullStats),                           // BlankNodeUsage (null-ratio stat)
     20 -> Seq(DistinctStats),                       // DifferentSerialisationFormatsCount
-    21 -> Seq(LangDriftPsi),                        // MultipleLanguageUsage
-    22 -> Seq(NullStats),                           // HumanReadableLabelling (text completeness)
-    23 -> Seq(MinMaxStats),                         // PresenceOfURIRegEx (exists-style)
+    21 -> Seq(MultiLangUsage, LangDriftPsi),        // MultipleLanguageUsage (per-entity distribution)
+    22 -> Seq(TextQuality, NullStats),              // HumanReadableLabelling
+    23 -> Seq(ExistsHttpsUrl),                      // PresenceOfURIRegEx (exists-style boolean)
     24 -> Seq(LangDriftPsi),                        // VocabularyUsageIndication
     25 -> Seq(NullStats),                           // BasicProvenanceMetric
     26 -> Seq(NullStats),                           // ExtendedProvenanceMetric
     27 -> Seq(UrlConformance),                      // Dereferenceability (URL validity shape)
-    28 -> Seq(UniformSample),                       // EstimatedDereferenceability
+    28 -> Seq(EstUrlConformance, UniformSample),    // EstimatedDereferenceability (check OVER the sample, scaled estimate)
     29 -> Seq(StratifiedSample),                    // EstimatedDereferenceabilityByTld
     30 -> Seq(StratifiedSample),                    // EstimatedDereferenceabilityByStratified
     31 -> Seq(DeclaredVsDerivedLang),               // MisreportedContentType
-    32 -> Seq(UniformSample, DeclaredVsDerivedLang),
+    32 -> Seq(EstUrlConformance, DeclaredVsDerivedLang), // Estimated… (sampled composition exists as est_conform_url)
     33 -> Seq(StratifiedSample, DeclaredVsDerivedLang),
-    34 -> Seq(MinMaxStats),                         // RDFAccessibility (exists)
-    35 -> Seq(MinMaxStats),                         // SPARQLAccessibility (exists)
+    34 -> Seq(ExistsHtml),                          // RDFAccessibility (exists-filter boolean)
+    35 -> Seq(ExistsEnText),                        // SPARQLAccessibility (exists-filter boolean)
     36 -> Seq(HostReferential),                     // LinkExternalDataProviders
     37 -> Seq(LangConformance, UrlStyle),           // licensing regex banks
     38 -> Seq()                                     // HighThroughput/LowLatency → Bench harness

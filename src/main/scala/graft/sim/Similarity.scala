@@ -12,17 +12,31 @@ import scala.util.Random
   *    broadcast (small side), so the plan is a broadcast nested-loop
   *    join + per-partition top-k: the corpus is never shuffled, which
   *    is the only layout that survives a 100 TB corpus.
-  *  - [[knnLsh]] / [[nearDupPairs]]: random-hyperplane LSH — sign-bit
-  *    bucket per vector (seeded, deterministic), candidates only within
-  *    equal buckets.
+  *  - [[knnLsh]] / [[nearDupPairs]]: random-hyperplane LSH — banded
+  *    sign-bit keys per vector (seeded, deterministic), candidates only
+  *    within equal bands.
   *
-  * All arithmetic is `functions`-level (zip_with/aggregate — codegen'd,
-  * no UDFs).
+  * Scale parameterization (round-2 fix): 96 hyperplanes total. Round 1
+  * used 16 planes with 2–4-bit bands — a 4–16-value key domain, i.e.
+  * buckets of N/4..N/16 and a near-cartesian candidate join at scale.
+  * Now near-dup uses 6 bands × 16 bits (65,536-value domain per band —
+  * expected bucket N/65536; miss probability for a cos ≈ 0.9999 copy
+  * pair ≈ (1−0.9955^16)^6 ≈ 1e-7) and knn uses 8 bands × 12 bits
+  * (recall is a function of query-neighbor cosine: ≈ 1 for cos ≥ 0.95,
+  * low for isotropic-random neighbors — brute force is the exhaustive
+  * path, LSH the high-similarity retrieval path; SimilaritySpec
+  * measures both recall and the bucket-size bound).
+  *
+  * All arithmetic is `functions`-level (zip_with/aggregate — left-fold
+  * summation, bit-identical to the DuckDB oracle's unrolled
+  * left-associated sum).
   */
 object Similarity {
 
   val Dim = 64
-  val NumPlanes = 16
+  val NumPlanes = 96
+  val NearDupBandBits = 16 // 6 bands
+  val KnnBandBits = 12     // 8 bands
 
   /** Seeded random hyperplanes (deterministic across runs). */
   private[sim] val Planes: IndexedSeq[IndexedSeq[Double]] = {
@@ -38,29 +52,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-bit LSH bucket (NumPlanes-bit integer) of a vector. */
-  def bucket(v: Column): Column =
-    Planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+  /** One band value: `bandBits` sign bits from this band's own plane
+    * subset, packed into a long. (With 96 planes the full signature
+    * exceeds 64 bits, so bands are computed directly — there is no
+    * single "bucket" integer.)
+    */
+  private def bandVal(v: Column, band: Int, bandBits: Int): Column =
+    (0 until bandBits).map { j =>
+      val p = Planes(band * bandBits + j)
+      when(dot(v, array(p.map(lit): _*)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Banded LSH keys: NumPlanes/bandBits structs of (band_id, band_val)
-    * where band_val is bandBits sign bits. Two vectors are candidates
-    * iff they share at least one band. Fewer bits per band → higher
-    * recall at lower cosine (more candidates); more bits → tighter
-    * candidate sets for near-dup (cos ≈ 1) work.
+  /** Banded LSH keys: NumPlanes/bandBits structs of (band_id, band_val).
+    * Two vectors are candidates iff they share at least one band.
     */
   def bucketBands(v: Column, bandBits: Int): Column = {
-    val bkt = bucket(v)
+    require(NumPlanes % bandBits == 0, s"bandBits $bandBits must divide $NumPlanes")
     val numBands = NumPlanes / bandBits
     array((0 until numBands).map { b =>
-      struct(lit(b).as("band_id"),
-        shiftright(bkt, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("band_val"))
+      struct(lit(b).as("band_id"), bandVal(v, b, bandBits).as("band_val"))
     }: _*)
   }
 
-  /** Exact cosine top-k for a bounded query set.
+  /** Exact cosine top-k for a bounded query set. Ranking is over the
+    * *rounded* cosine (ties broken by neighbor_id), so the order is
+    * deterministic and engine-independent.
     * Output: (query_id, neighbor_id, cos, rank), ordered.
     */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
@@ -77,16 +93,16 @@ object Similarity {
   }
 
   /** LSH-bucketed top-k: identical output shape to [[knnBrute]] but
-    * candidates restricted to the query's bucket (scale path; recall
-    * measured against brute in tests).
+    * candidates restricted to vectors sharing ≥1 band with the query
+    * (scale path; recall measured against brute in tests).
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val q = broadcast(queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(bucketBands(col("embedding"), 2)).as("b"))
+        explode(bucketBands(col("embedding"), KnnBandBits)).as("b"))
       .select(col("query_id"), col("qv"), col("b.band_id"), col("b.band_val")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      explode(bucketBands(col("embedding"), 2)).as("b"))
+      explode(bucketBands(col("embedding"), KnnBandBits)).as("b"))
       .select(col("neighbor_id"), col("cv"), col("b.band_id"), col("b.band_val"))
     val scored = c.join(q, Seq("band_id", "band_val"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -100,12 +116,12 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs via LSH buckets + cosine verify.
-    * Output: (id_a, id_b, cos) with cos ≥ threshold, ordered.
+  /** Embedding near-duplicate pairs via banded LSH + cosine verify.
+    * Output: (id_a, id_b, cos) with rounded cos ≥ threshold, ordered.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double = 0.99): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
-      explode(bucketBands(col("embedding"), 4)).as("bb"))
+      explode(bucketBands(col("embedding"), NearDupBandBits)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("bb.band_id"), col("bb.band_val"))
     val l = b.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("band_id"), col("band_val"))

@@ -34,9 +34,13 @@ object StreamingChecks {
 
   /** Fused per-day conformance counts over the stream: one event-time
     * day window per row, all predicates aggregated in a single
-    * stateful operator; `watermark` bounds state for late data.
-    * Output (append mode after watermark): one row per closed day with
-    * 2 columns per check.
+    * stateful operator. Run in **update** output mode: each micro-batch
+    * emits the days it touched (counts are monotone, so a consumer
+    * keeps the latest row per day), and the watermark evicts window
+    * state once a day falls `watermark` behind the max event time —
+    * that eviction is what bounds state on an unbounded stream.
+    * (Complete mode — round 1 — retained every window forever, making
+    * the watermark a no-op.)
     */
   def conformanceByWindow(stream: DataFrame,
       preds: Seq[Pred] = Conformance.preds,
@@ -62,7 +66,7 @@ object StreamingChecks {
   def start(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
     conformanceByWindow(pageStream(spark, dir))
       .writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .start()

@@ -29,6 +29,9 @@ object EmbSynth {
     val copies = base.where(col("vec_id") % CopyEvery === 0)
       .select(
         (col("vec_id") + CopyIdOffset).as("vec_id"),
+        // NB: Spark's Scala-DSL two-arg transform passes a 1-based
+        // element index (verified empirically; the DuckDB oracle's
+        // generate_series(1, len) mirrors it exactly)
         transform(col("embedding"),
           (x, i) => x + (pmod(col("vec_id") + i.cast("long"), lit(7L)).cast("double") - 3.0) * 0.001)
           .as("embedding"),

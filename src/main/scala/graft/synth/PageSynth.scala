@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *   - `%347==0`  text empty
   *   - `%127==3`  text replaced by boilerplate A (exact-duplicate group)
   *   - `%127==4`  text replaced by boilerplate B (near-duplicate of A: one token differs)
+  *   - `%127==5`  text replaced by boilerplate C (400-token exact-dup group)
+  *   - `%127==6`  text replaced by boilerplate C′ (C with one token changed —
+  *                a *simhash-detectable* near-dup: 1/400 tokens differ ⇒
+  *                token-vector cosine ≈ 0.9975 ⇒ expected hamming ≈ 2 of 60 bits;
+  *                the 20-token A/B pair is only minhash-detectable)
   *   - `%421==0`  lang NULL
   *   - `%419==0`  lang `'x!'`                    (syntax violation)
   *   - `%97==0`   lang `'zz'`   (valid syntax, absent from lang_dim → referential violation)
@@ -52,6 +57,13 @@ object PageSynth {
 
   /** host_dim covers host ids 0..90; tail ids 91..100 are "unknown". */
   val KnownHostMax = 90
+
+  /** 400 distinct tokens — long enough that a one-token edit keeps the
+    * simhash within the hamming-≤3 detection bound (see class doc).
+    */
+  val BoilerC: String = (1 to 400).map(i => f"w$i%03d").mkString(" ")
+  /** C with token #200 changed. */
+  val BoilerCPrime: String = BoilerC.replace(" w200 ", " wzzz ")
 
   sealed trait Dialect { def str: String; def enc(x: String): String; def day(e: String): String }
   /** Spark SQL rendering. */
@@ -97,6 +109,8 @@ object PageSynth {
        |         WHEN doc_id % 347 = 0 THEN ''
        |         WHEN doc_id % 127 = 3 THEN 'boilerplate cookie consent page please accept our terms and conditions to continue reading the content of this site'
        |         WHEN doc_id % 127 = 4 THEN 'boilerplate cookie consent page please accept our terms and conditions to continue reading the content of this website'
+       |         WHEN doc_id % 127 = 5 THEN '$BoilerC'
+       |         WHEN doc_id % 127 = 6 THEN '$BoilerCPrime'
        |         ELSE text END AS text,
        |    CASE WHEN doc_id % 421 = 0 THEN NULL
        |         WHEN doc_id % 419 = 0 THEN 'x!'

@@ -17,10 +17,14 @@ import graft.checks.FusedChecks
   */
 object TextOps {
 
-  /** Whitespace token count; empty/null-safe. */
+  /** Whitespace token count; empty/null-safe. `regexp_count` instead of
+    * `size(split(...))`: same value (separator runs + 1), but no
+    * per-row string-array allocation — this runs on every row of the
+    * benched suite scan.
+    */
   def tokenCount(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, 0L)
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+      .otherwise((regexp_count(trim(text), lit("\\s+")) + 1).cast("long"))
 
   /** Stopword profiles per language (the deterministic stand-in for an
     * n-gram model; lookup by padded-substring so Spark and DuckDB agree
@@ -32,12 +36,13 @@ object TextOps {
     "es" -> Seq("el", "los", "las", "y", "una", "que", "es"),
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht"))
 
-  /** Number of distinct profile stopwords present in the text. */
-  def profileHits(text: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "), coalesce(text, lit("")), lit(" "))
+  private def hitsOnPadded(padded: Column, words: Seq[String]): Column =
     words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
       .reduce(_ + _)
-  }
+
+  /** Number of distinct profile stopwords present in the text. */
+  def profileHits(text: Column, words: Seq[String]): Column =
+    hitsOnPadded(concat(lit(" "), coalesce(text, lit("")), lit(" ")), words)
 
   /** Heuristic language ID: argmax of profile hits, ties resolved in
     * profile order; 'und' (undetermined) when no profile scores ≥ 2.
@@ -74,6 +79,57 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(text), "\\s+", " "))
+
+  // ——— suite integration (fused-predicate forms) ———
+
+  /** Adds the derived columns the text predicates reference — the
+    * padded haystack and the per-profile hit counts become real
+    * intermediate columns, each computed ONCE per row (a
+    * multi-referenced projection alias survives CollapseProject), so
+    * fusing both text checks into the suite's single scan does not
+    * re-run the 28-substring detector or the tokenizer per predicate.
+    * Values are identical to [[detectedLang]]/[[qualityScore]].
+    */
+  def withDerived(pages: DataFrame): DataFrame = {
+    var df = pages.withColumn("__padded",
+      concat(lit(" "), coalesce(col("text"), lit("")), lit(" ")))
+    StopwordProfiles.foreach { case (l, ws) =>
+      df = df.withColumn(s"__s_$l", hitsOnPadded(col("__padded"), ws))
+    }
+    val best = StopwordProfiles.map(p => col(s"__s_${p._1}")).reduce((a, b) => greatest(a, b))
+    val detected = StopwordProfiles.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(best >= 2 && col(s"__s_$l") === best, lit(l)).otherwise(acc)
+    }
+    val nTok = tokenCount(col("text")).cast("double")
+    val nChars = coalesce(length(col("text")), lit(0)).cast("double")
+    val meanTokLen = when(nTok > 0, (nChars - (nTok - 1)) / nTok).otherwise(0.0)
+    val q = least(nTok / 20.0, lit(1.0)) * 0.4 +
+      when(meanTokLen >= 3.0 && meanTokLen <= 10.0, 1.0).otherwise(0.5) * 0.3 +
+      least(col("__s_en").cast("double") / 3.0, lit(1.0)) * 0.3
+    df.withColumn("detected_lang", detected)
+      .withColumn("quality", q)
+      .drop("__padded" +: StopwordProfiles.map(p => s"__s_${p._1}"): _*)
+  }
+
+  val QualityThreshold = 0.5
+
+  /** Text checks as fused predicates over [[withDerived]] columns:
+    * declared-vs-derived language (#31 MisreportedContentType shape) and
+    * quality floor (#22 HumanReadableLabelling shape). These join the
+    * conformance bank in CheckSuite's one-scan family.
+    */
+  val preds: Seq[graft.checks.Pred] = Seq(
+    graft.checks.Pred(graft.model.CheckId.DeclaredVsDerivedLang,
+      graft.model.ViolationKind.MisreportedLanguage,
+      col("text").isNotNull && length(col("text")) > 0 &&
+        col("detected_lang") =!= "und" && col("lang").isNotNull,
+      col("lang") =!= col("detected_lang"),
+      concat(col("lang"), lit("!="), col("detected_lang")), 0.5),
+    graft.checks.Pred(graft.model.CheckId.TextQuality,
+      graft.model.ViolationKind.LowQualityText,
+      col("text").isNotNull && length(col("text")) > 0,
+      col("quality") < QualityThreshold,
+      lit(s"quality<$QualityThreshold"), 0.8))
 
   // ——— query surfaces ———
 

@@ -5,14 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.synth.PageSynth
 
-/** Near-duplicate detection: LSH results vs the O(n²) exact baseline. */
+/** Near-duplicate detection: LSH results vs the O(g²) exact baseline,
+  * over collapsed distinct-text groups.
+  */
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val pages = PageSynth.pages(spark, TestSpark.sf0001).cache()
 
-  test("minhash+LSH finds every brute-force Jaccard pair at sf0.001") {
-    // with 16 bands × 4 rows, P(candidate | J≥0.7) ≈ 1-(1-0.7^4)^16 ≈ 0.99;
-    // on this corpus every true pair must surface (verified exactly).
+  test("minhash+LSH finds exactly the brute-force Jaccard pairs at sf0.001") {
     val brute = Dedup.bruteJaccardPairs(pages).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     val lsh = Dedup.minhashPairs(pages).collect()
@@ -21,16 +21,45 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute, s"LSH missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
   }
 
-  test("boilerplate groups appear as jaccard-1.0 pairs") {
-    val ones = Dedup.minhashPairs(pages).where(col("jaccard") === 1.0).count()
-    assert(ones > 0)
+  test("exact-dup groups are collapsed: the A/B pair carries group sizes") {
+    val rows = Dedup.minhashPairs(pages).collect()
+    assert(rows.forall(_.getAs[Double]("jaccard") < 1.0),
+      "distinct-fp representatives should never be byte-identical")
+    // the boilerplate A/B pair (J = 15/17 ≈ 0.88): both sides are
+    // multi-doc exact-dup groups, so the fan-out counts exceed 1
+    val boilerUrls = pages.where(col("text").startsWith("boilerplate cookie"))
+      .select("url").collect().map(_.getString(0)).toSet
+    val ab = rows.filter(r =>
+      boilerUrls.contains(r.getAs[String]("url_a")) && boilerUrls.contains(r.getAs[String]("url_b")))
+    assert(ab.length == 1, "exactly one A-rep/B-rep pair expected")
+    assert(ab.head.getAs[Double]("jaccard") > 0.7 && ab.head.getAs[Double]("jaccard") < 0.9)
+    assert(ab.head.getAs[Long]("n_docs_a") > 1 && ab.head.getAs[Long]("n_docs_b") > 1)
   }
 
-  test("simhash: identical texts have hamming 0, boiler A-B pairs are close") {
+  test("simhash finds the long-document C/C' pair within hamming<=3") {
     val pairs = Dedup.simhashPairs(pages).collect()
-    assert(pairs.nonEmpty)
-    val zero = pairs.count(_.getAs[Long]("hamming") == 0L)
-    assert(zero > 0, "exact dup texts must collide at hamming 0")
+    assert(pairs.forall(_.getAs[Long]("hamming") <= Dedup.HammingThreshold))
+    // C/C' (1 of 400 tokens changed): deterministic hamming 3
+    val cUrls = pages.where(col("text").startsWith("w001 w002"))
+      .select("url").collect().map(_.getString(0)).toSet
+    val cc = pairs.filter(r =>
+      cUrls.contains(r.getAs[String]("url_a")) && cUrls.contains(r.getAs[String]("url_b")))
+    assert(cc.length == 1, "exactly one C-rep/C'-rep pair expected")
+    assert(cc.head.getAs[Long]("hamming") == 3L)
+  }
+
+  test("clusters: A+B groups form one cluster keyed by the min member url") {
+    val cl = Dedup.clusters(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cl.nonEmpty)
+    // every member of the A and B boilerplate groups shares one rep
+    val boilerUrls = pages.where(col("text").startsWith("boilerplate cookie"))
+      .select("url").collect().map(_.getString(0)).toSet
+    val reps = cl.filter(c => boilerUrls.contains(c._1)).map(_._2).toSet
+    assert(reps.size == 1, s"A∪B must be one cluster, got reps=$reps")
+    assert(reps.head == boilerUrls.min)
+    // cluster map covers every boilerplate member document
+    assert(boilerUrls.subsetOf(cl.map(_._1).toSet))
   }
 
   test("dedup outputs are deterministic across repartitioning") {
@@ -40,12 +69,15 @@ class DedupSpec extends AnyFunSuite {
     val c = Dedup.simhashPairs(pages).collect().map(_.toString).toSeq
     val d = Dedup.simhashPairs(pages.repartition(5)).collect().map(_.toString).toSeq
     assert(c == d)
+    val e = Dedup.clusters(pages).collect().map(_.toString).toSeq
+    val f = Dedup.clusters(pages.repartition(7)).collect().map(_.toString).toSeq
+    assert(e == f)
   }
 
   test("shingles: short text degenerates to whole-text shingle") {
     import spark.implicits._
     val df = Seq(("u1", "one two"), ("u2", "a b c d")).toDF("url", "text")
-    val sh = df.select(Dedup.shingles(col("text")).as("sh")).collect()
+    val sh = df.select(Dedup.shingles(Dedup.normText(col("text"))).as("sh")).collect()
     assert(sh(0).getSeq[String](0) == Seq("one two"))
     assert(sh(1).getSeq[String](0) == Seq("a b c", "b c d"))
   }

@@ -44,6 +44,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,fr)]"), p.take(800))
   }
 
+  test("stratified sample has no full-table window partitioned by the skewed key alone") {
+    val p = plan(Sampling.stratifiedSample(pages))
+    // phase 1 must rank within (host, salt): the first (bottom-most)
+    // window in the plan carries both partition keys, so no task ever
+    // sorts a whole host stratum (the head host owns 40% of all rows)
+    val windows = "Window \\[row_number".r.findAllMatchIn(p).toSeq
+    assert(windows.size == 2, s"expected the two-phase rank, got:\n${p.take(1200)}")
+    val firstWindow = p.split("\n").filter(_.contains("Window [row_number")).last // bottom-most
+    assert(firstWindow.contains("host") && firstWindow.contains("salt"),
+      s"phase-1 window must partition by (host, salt): $firstWindow")
+    // the allocation table needs no window at all
+    val alloc = plan(Sampling.stratifiedAllocation(pages))
+    assert(!alloc.contains("Window"), alloc.take(800))
+  }
+
   test("knn brute plan broadcasts the query side") {
     val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
     val p = plan(graft.sim.Similarity.knnBrute(v, v.where(col("vec_id") < 5)))

@@ -37,7 +37,13 @@ class RuntimeSpec extends AnyFunSuite {
     val r1 = suite.run("run1")
     val perDay = r1.where(col("pday") =!= "*")
     assert(perDay.groupBy("pday").count().count() == 47)
-    assert(r1.where(col("pday") === "*").count() == 3) // uniqueness + psi + ks
+    // uniqueness + dup_text + psi + ks + 3 exists probes
+    assert(r1.where(col("pday") === "*").count() == 7)
+    // the sampled-estimate check is flagged estimate=true in the audit
+    val estFlags = suite.auditTable.select("check_id", "estimate").distinct()
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(estFlags("est_conform_url"))
+    assert(!estFlags("conform_url"))
     val auditN = suite.auditTable.count()
     // resume with nothing left: no new audit rows, same verdicts
     val r2 = suite.run("run1")
@@ -71,5 +77,36 @@ class RuntimeSpec extends AnyFunSuite {
     val viol = spark.read.parquet(s"$root/violations")
     assert(viol.where(col("run_id") === "runV").count() > 0)
     assert(viol.columns.contains("kind"))
+  }
+
+  test("violation listings are capped per (check, pday), deterministically") {
+    import spark.implicits._
+    val viol = (1 to 500).map(i => ("c1", "K", "d1", f"u$i%03d", "x"))
+      .toDF("check_id", "kind", "pday", "url", "detail")
+      .union(Seq(("c2", "K", "d1", "u1", "x")).toDF("check_id", "kind", "pday", "url", "detail"))
+    val capped = CheckSuite.capViolations(viol, 100).collect()
+    assert(capped.count(_.getString(0) == "c1") == 100)
+    assert(capped.count(_.getString(0) == "c2") == 1)
+    // deterministic prefix: the first 100 urls in order survive
+    val kept = capped.filter(_.getString(0) == "c1").map(_.getString(3)).sorted
+    assert(kept.toSeq == (1 to 100).map(i => f"u$i%03d"))
+  }
+
+  test("whole-table violation listings appear exactly once after an interrupted+resumed run") {
+    val root = freshTable()
+    val suite = new CheckSuite(spark, root)
+    suite.run("runW", maxPartitions = Some(5))
+    suite.run("runW") // resume to completion
+    // url uniqueness is a whole-table property: groups straddling batch
+    // boundaries must not be lost (they would be, if listed per batch)
+    val expected = graft.checks.Uniqueness
+      .violations(PageTable.read(spark, root).drop("pday")).count()
+    assert(expected > 0)
+    assert(suite.violationsTable("runW")
+      .where(col("check_id") === "unique_url").count() == expected)
+    // and the raw (un-deduped) log has them exactly once too
+    assert(spark.read.parquet(s"$root/violations")
+      .where(col("run_id") === "runW" && col("check_id") === "unique_url")
+      .count() == expected)
   }
 }

@@ -21,8 +21,11 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
+    // update mode re-emits a day each time a batch touches it; counts
+    // are monotone, so the final state per day is the max
     val streamed = spark.table("stream_conf")
-      .select(col("pday"), col("conform_url__n_rows"), col("conform_url__bad"))
+      .groupBy(col("pday"))
+      .agg(max(col("conform_url__n_rows")).as("n"), max(col("conform_url__bad")).as("b"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     val batch = graft.checks.FusedChecks.resultsByDay(pages.where(col("warc_ts").isNotNull))

@@ -48,6 +48,9 @@ object SynthModel {
     else if (docId % 347 == 0) Some("")
     else if (docId % 127 == 3) Some(BoilerA)
     else if (docId % 127 == 4) Some(BoilerB)
+    else if (docId % 127 == 5) Some((1 to 400).map(i => f"w$i%03d").mkString(" "))
+    else if (docId % 127 == 6)
+      Some((1 to 400).map(i => if (i == 200) "wzzz" else f"w$i%03d").mkString(" "))
     else Some(base)
 
   def lang(docId: Long, base: String): Option[String] =
