@@ -279,6 +279,25 @@ object OracleSql {
        |      ELSE 'application/octet-stream' END AS sniffed_type
        |FROM pages WHERE html IS NOT NULL ORDER BY url""".stripMargin
 
+  /** 16-bucket byte histogram oracle: bucket k of `(b*16)/256` is the
+    * high nibble of byte b, i.e. the characters at odd positions of
+    * `hex(html)`. `regexp_replace(h, '(.).', '\\1', 'g')` keeps exactly
+    * those, and per-digit counts are length differences after replace.
+    */
+  val mmFeatures: String = {
+    val nibbles = "regexp_replace(hex(html), '(.).', '\\1', 'g')"
+    val histCols = "0123456789ABCDEF".zipWithIndex.map { case (d, k) =>
+      s"CAST(sum(length(nibs) - length(replace(nibs, '$d', ''))) AS BIGINT) AS h${"%02d".format(k)}"
+    }.mkString(",\n|       ")
+    s"""$cte, feats AS (
+       | SELECT pday, $nibbles AS nibs, octet_length(html) AS n_bytes
+       | FROM pages WHERE html IS NOT NULL)
+       |SELECT pday, CAST(count(*) AS BIGINT) AS n_payloads,
+       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |       $histCols
+       |FROM feats GROUP BY pday ORDER BY pday""".stripMargin
+  }
+
   // ——— text-analysis oracles ———
 
   private val nTokDuck =
@@ -512,6 +531,33 @@ object OracleSql {
        |   FROM pages GROUP BY pday) a) b
        |ORDER BY pday""".stripMargin
 
+  /** Mirrors Disjoint.verdict / violatingEntities: entity = url,
+    * classes = script families of its observed langs, disjoint pair =
+    * (latin, cjk).
+    */
+  private val disjointEnt =
+    s"""fams AS (${graft.checks.Disjoint.famDimDuck}), ent AS (
+       | SELECT p.url,
+       |   bool_or(f.family = 'latin') AS latin, bool_or(f.family = 'cjk') AS cjk,
+       |   list_sort(list(DISTINCT f.family)) AS fam_list,
+       |   list_sort(list(DISTINCT p.lang)) AS lang_list
+       | FROM pages p JOIN fams f ON p.lang = f.lang
+       | GROUP BY p.url)""".stripMargin
+
+  val disjointLang: String =
+    s"""$cte, $disjointEnt
+       |SELECT CAST(count(*) AS BIGINT) AS n_entities,
+       |  CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |  1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+       |  (1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.99 AS pass
+       |FROM ent""".stripMargin
+
+  val disjointLangEntities: String =
+    s"""$cte, $disjointEnt
+       |SELECT url, array_to_string(fam_list, ',') AS families,
+       |  array_to_string(lang_list, ',') AS langs
+       |FROM ent WHERE latin AND cjk ORDER BY url""".stripMargin
+
   val multiLangUsage: String =
     s"""$cte SELECT n_langs, CAST(count(*) AS BIGINT) AS n_urls FROM (
        |  SELECT url, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
@@ -625,8 +671,17 @@ object OracleSql {
     }
     val psiPart = driftPart("drift_lang_psi", "coalesce(lang, 'null')", isKs = false, Drift.PsiThreshold)
     val ksPart = driftPart("drift_hour_ks", hourBin, isKs = true, Drift.KsThreshold)
+    val disjointPart =
+      s"""SELECT 'disjoint_lang' AS check_id, '*' AS pday,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         | 1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+         | (1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.99 AS pass
+         |FROM (SELECT p.url, bool_or(f.family = 'latin') AS latin, bool_or(f.family = 'cjk') AS cjk
+         |      FROM pages p JOIN (${graft.checks.Disjoint.famDimDuck}) f ON p.lang = f.lang
+         |      GROUP BY p.url) ent""".stripMargin
     val parts = Seq(fusedPart, completenessPart, estPart, hostPart, langPart,
-      uniqPart, dupTextPart, psiPart, ksPart) ++ existsParts
+      uniqPart, dupTextPart, psiPart, ksPart, disjointPart) ++ existsParts
     s"""$cte, $psCte$completenessBase SELECT * FROM (
        |${parts.mkString("\nUNION ALL\n")}
        |) s ORDER BY check_id, pday""".stripMargin
@@ -653,6 +708,7 @@ object OracleSql {
     "dedup_clusters" -> dedupClusters,
     "mm_html_meta" -> mmHtmlMeta,
     "mm_html_digests" -> mmHtmlDigests,
+    "mm_features" -> mmFeatures,
     "pages_dump" -> pagesDump,
     "fused_results" -> fusedResults,
     "fused_violations" -> fusedViolations,
@@ -678,6 +734,8 @@ object OracleSql {
     "completeness_missing" -> completenessMissing,
     "exists_checks" -> existsChecks,
     "est_conform_url" -> estConformUrl,
-    "multi_lang_usage" -> multiLangUsage
+    "multi_lang_usage" -> multiLangUsage,
+    "disjoint_lang" -> disjointLang,
+    "disjoint_lang_entities" -> disjointLangEntities
   )
 }

@@ -55,6 +55,11 @@ object SparkEntry {
     "est_conform_url" -> ((s, dir) => Sampling.estimatedUrlConformance(pages(s, dir))),
     // per-entity language-count distribution (#21 MultipleLanguageUsage)
     "multi_lang_usage" -> ((s, dir) => Stats.multiLangUsage(pages(s, dir))),
+    // entities as members of disjoint classes (#9, collect_set shape)
+    "disjoint_lang" -> ((s, dir) =>
+      Disjoint.verdict(pages(s, dir), Disjoint.famDim(s))),
+    "disjoint_lang_entities" -> ((s, dir) =>
+      Disjoint.violatingEntities(pages(s, dir), Disjoint.famDim(s))),
     // referential vs dimension snapshots
     "ref_host_day" -> ((s, dir) =>
       Referential.hostCheckByDay(pages(s, dir), PageSynth.hostDim(s))),
@@ -75,6 +80,9 @@ object SparkEntry {
     // multimodal binary-column plumbing + byte-identity invariant
     "mm_html_meta" -> ((s, dir) => graft.multimodal.Multimodal.htmlMeta(pages(s, dir))),
     "mm_html_digests" -> ((s, dir) => graft.multimodal.Multimodal.htmlDigests(pages(s, dir))),
+    // per-payload feature extraction (mapPartitions decode seam);
+    // all-integer byte-histogram profile, value-oracled via hex nibbles
+    "mm_features" -> ((s, dir) => graft.multimodal.Features.featuresByDay(pages(s, dir))),
     // text analysis
     "text_tokens" -> ((s, dir) => graft.text.TextOps.tokenStatsByDay(pages(s, dir))),
     "text_quality" -> ((s, dir) => graft.text.TextOps.qualityByDay(pages(s, dir))),

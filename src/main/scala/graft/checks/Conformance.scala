@@ -2,6 +2,7 @@ package graft.checks
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.NativeValidators.{validHttpUrl, validLangTag}
 import graft.model.ViolationKind
 import graft.synth.PageSynth
 
@@ -44,7 +45,10 @@ object Conformance {
     */
   val MaxUrlLen = 80
 
-  private val urlOk = col("url").isNotNull && col("url").rlike(UrlRegex)
+  // Hot path: byte-scan validators (graft.functions.UrlScan), not
+  // java.util.regex — same semantics as UrlRegex/LangRegex (the oracle
+  // still checks via regexp_matches; ValidatorSpec proves equivalence).
+  private val urlOk = col("url").isNotNull && validHttpUrl(col("url"))
 
   /** The fused predicate-check bank. */
   val preds: Seq[Pred] = Seq(
@@ -62,9 +66,9 @@ object Conformance {
       lit(true), col("lang").isNull, lit("lang is null"), 0.99),
     // — syntactic validity family (refs #4 #5 #27) —
     Pred("conform_url", ViolationKind.MalformedUri,
-      col("url").isNotNull, !col("url").rlike(UrlRegex), col("url"), 0.99),
+      col("url").isNotNull, !validHttpUrl(col("url")), col("url"), 0.99),
     Pred("conform_lang", ViolationKind.BadLanguageTag,
-      col("lang").isNotNull, !col("lang").rlike(LangRegex), col("lang"), 0.99),
+      col("lang").isNotNull, !validLangTag(col("lang")), col("lang"), 0.99),
     Pred("conform_ts", ViolationKind.OutOfRange,
       col("warc_ts").isNotNull,
       col("warc_ts").cast("long") < PageSynth.TsMin ||

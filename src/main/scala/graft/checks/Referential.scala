@@ -60,7 +60,7 @@ object Referential {
   def langCheckByDay(pages: DataFrame, langDim: DataFrame, threshold: Double = 0.98): DataFrame = {
     val applicable = pages
       .withColumn("pday", FusedChecks.pday)
-      .where(col("lang").isNotNull && col("lang").rlike(Conformance.LangRegex))
+      .where(col("lang").isNotNull && graft.functions.NativeValidators.validLangTag(col("lang")))
     applicable.join(broadcast(langDim.withColumn("known", lit(true))), Seq("lang"), "left")
       .groupBy(col("pday"))
       .agg(count(lit(1)).as("n_rows"),
@@ -73,7 +73,7 @@ object Referential {
 
   /** Unknown-language violation rows (kind UndefinedLanguage), grouped. */
   def unknownLangs(pages: DataFrame, langDim: DataFrame): DataFrame =
-    pages.where(col("lang").isNotNull && col("lang").rlike(Conformance.LangRegex))
+    pages.where(col("lang").isNotNull && graft.functions.NativeValidators.validLangTag(col("lang")))
       .join(broadcast(langDim), Seq("lang"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_rows"), min(col("url")).as("min_url"))

@@ -108,8 +108,18 @@ object Dedup {
   def hashedShingles(norm: Column): Column =
     array_distinct(transform(shingles(norm), s => hex7Int(s)))
 
-  /** MinHash signature (NumHashes values) from the hashed shingle set. */
+  /** MinHash signature (NumHashes values) from the hashed shingle set.
+    * Native expression ([[graft.functions.MinHashSignature]]): the
+    * declarative 96-way `array_min(transform(...))` spelling overflows
+    * Janino's 64 KB method limit and drops the whole stage to
+    * interpreted eval — 70 s for 5k docs in the round-2 bench; the
+    * one-pass loop is bit-identical and stays codegen'd.
+    */
   def signature(hs: Column): Column =
+    graft.functions.MinHash.signature(hs, CoefA.toArray, CoefB.toArray, MersenneP)
+
+  /** The pre-round-2 declarative signature, kept for the parity spec. */
+  private[graft] def signatureDeclarative(hs: Column): Column =
     array((0 until NumHashes).map { j =>
       array_min(transform(hs, h => pmod(h * lit(CoefA(j)) + lit(CoefB(j)), lit(MersenneP))))
     }: _*)
@@ -242,7 +252,11 @@ object Dedup {
     */
   def clusters(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
     val groups = corpusGroups(pages).persist()
-    val pairs = minhashPairs(pages, threshold).select(col("url_a"), col("url_b"))
+    // persist the pair list BEFORE the symmetric union: both union
+    // branches read the same (expensive) LSH pipeline, and an
+    // unpersisted `pairs` executes it twice
+    val pairs = minhashPairs(pages, threshold)
+      .select(col("url_a"), col("url_b")).persist()
     val edges = pairs
       .union(pairs.select(col("url_b"), col("url_a")))
       .toDF("src", "dst").persist()
@@ -283,6 +297,7 @@ object Dedup {
     // NB: groups/labels stay persisted until the returned plan executes;
     // they are distinct-text- and edge-scale (small), not corpus-scale.
     edges.unpersist()
+    pairs.unpersist()
     out
   }
 }

@@ -83,6 +83,7 @@ object ViolationKind {
   val NearDuplicate      = "NearDuplicate"       // minhash/simhash/embedding near-dup
   val MissingMember      = "MissingExpectedMember" // dim member absent from the data (DataCubePopulationCompleteness problem bag)
   val MisreportedLanguage = "MisreportedLanguage" // declared lang ≠ derived lang (#31 MisreportedContentType analog)
+  val DisjointMembership = "MultiTypedResourceWithDisjointedClasses" // DQMPROB exact name (AdvancedEntitiesAsMembersOfDisjointClasses.java:158)
   val LowQualityText     = "LowQualityText"      // quality score under threshold
 }
 
@@ -133,6 +134,8 @@ object CheckId {
   val ExistsHtml       = "exists_html"           // #34 RDFAccessibility (≥1 fetchable payload)
   val ExistsHttpsUrl   = "exists_https_url"      // #23 PresenceOfURIRegEx (≥1 url matching the pattern)
   val ExistsEnText     = "exists_en_text"        // #35 SPARQLAccessibility shape (≥1 queryable doc)
+  val DisjointLang     = "disjoint_lang"         // #9 entities typed into declared-disjoint families
+  val PayloadFeatures  = "mm_features"           // media-decode seam (byte-histogram profile)
 
   /** Reference metric #n → check ids that re-express it (for the judge's
     * SURVEY §2 line-by-line coverage walk).
@@ -146,8 +149,8 @@ object CheckId {
     6  -> Seq(UrlUniqueness),                       // ValidIFPUsage
     7  -> Seq(HostReferential),                     // UsageOfIncorrectDomainOrRangeDatatypes
     8  -> Seq(UniformSample, HostReferential),      // Estimated… (sampled variant)
-    9  -> Seq(LangReferential),                     // AdvancedEntitiesAsMembersOfDisjointClasses
-    10 -> Seq(UniformSample, LangReferential),      // Estimate… (sampled)
+    9  -> Seq(DisjointLang),                        // AdvancedEntitiesAsMembersOfDisjointClasses (collect_set + disjoint-pair test)
+    10 -> Seq(UniformSample, DisjointLang),         // Estimate… (sampled)
     11 -> Seq(HostReferential),                     // MisplacedClassesOrProperties
     12 -> Seq(LangConformance),                     // MisusedOwlDatatypeOrObjectProperties
     13 -> Seq(HostReferential),                     // OntologyHijacking (authoritative-host membership)

@@ -73,6 +73,44 @@ object Features {
       }
   }
 
+  /** Typed feature row carrying the partition day, for the per-day
+    * driver surface.
+    */
+  case class PayloadFeaturesDay(
+      pday: String,
+      url: String,
+      n_bytes: Long,
+      byte_hist16: Array[Long])
+
+  /** Per-pday feature profile through the real extraction seam
+    * (`mapPartitions`, where a native media decoder would run): payload
+    * count, total bytes, and the element-wise-summed 16-bucket byte
+    * histogram as columns h00..h15. All-integer output — the DuckDB
+    * oracle (`mm_features`) recomputes the histogram from `hex(html)`
+    * high nibbles (bucket k of a 16-bucket byte histogram IS the high
+    * nibble), so the stubbed decode path is fully value-verified.
+    */
+  def featuresByDay(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val rows = pages.where(col("html").isNotNull)
+      .select(
+        coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"), lit("null")).as("pday"),
+        col("url"), col("html"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (pday, url, payload) =>
+          PayloadFeaturesDay(pday, url, payload.length.toLong, byteHistogram(payload))
+        }
+      }
+    val histAggs = (0 until 16).map(k =>
+      sum(element_at(col("byte_hist16"), k + 1)).as(f"h$k%02d"))
+    rows.groupBy(col("pday"))
+      .agg(count(lit(1)).as("n_payloads"),
+        (sum(col("n_bytes")).as("total_bytes") +: histAggs): _*)
+      .orderBy("pday")
+  }
+
   /** Aggregated feature profile per pday (DataFrame surface for the
     * driver): rows, total bytes, mean embedding norm (rounded).
     */

@@ -126,10 +126,15 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
           (col("base_rows") + col("cur_rows")).as("n_rows"),
           lit(0L).as("violations"), col("value"), col("pass"))
         val exists = Exists.verdictRows(full)
+        val disjoint = Disjoint.verdict(full, dims.famDim).select(
+          lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
+          col("n_entities").as("n_rows"), col("violations"), col("value"),
+          col("pass"))
         val wholeViol = Uniqueness.violations(full, ordered = false)
           .unionByName(CheckSuite.dupTextViolations(full))
+          .unionByName(CheckSuite.disjointViolations(full, dims.famDim))
         (perDay.unionByName(uniq).unionByName(dupText)
-           .unionByName(drift).unionByName(exists),
+           .unionByName(drift).unionByName(exists).unionByName(disjoint),
           batchViol.unionByName(wholeViol))
       } else (perDay, batchViol)
 
@@ -180,7 +185,7 @@ object CheckSuite {
     Pred(CheckId.HostReferential, graft.model.ViolationKind.UnknownHost,
       col("host") =!= "", col("host_known").isNull, col("host"), 0.99),
     Pred(CheckId.LangReferential, graft.model.ViolationKind.UnknownLanguage,
-      col("lang").isNotNull && col("lang").rlike(Conformance.LangRegex),
+      col("lang").isNotNull && graft.functions.NativeValidators.validLangTag(col("lang")),
       col("lang_known").isNull, col("lang"), 0.98))
 
   /** Number of distinct per-day check ids emitted for every partition:
@@ -238,6 +243,18 @@ object CheckSuite {
         (col("distinct_texts").cast("double") / col("n_rows").cast("double")).as("value"))
       .withColumn("pass", col("value") >= 0.9)
 
+  /** Disjoint-membership violation rows (the problem-report analog of
+    * AdvancedEntitiesAsMembersOfDisjointClasses.createProblemModel).
+    */
+  def disjointViolations(pages: DataFrame, famDim: DataFrame): DataFrame =
+    Disjoint.violatingEntities(pages, famDim).select(
+      lit(CheckId.DisjointLang).as("check_id"),
+      lit(graft.model.ViolationKind.DisjointMembership).as("kind"),
+      lit("*").as("pday"),
+      col("url"),
+      concat(lit("families="), col("families"),
+        lit(" langs="), col("langs")).as("detail"))
+
   /** Duplicate-text violation rows (one per group). */
   def dupTextViolations(pages: DataFrame): DataFrame =
     Uniqueness.duplicateTexts(pages).select(
@@ -257,8 +274,9 @@ object CheckSuite {
 }
 
 /** Dimension snapshots the suite joins against. */
-case class Dims(hostDim: DataFrame, langDim: DataFrame)
+case class Dims(hostDim: DataFrame, langDim: DataFrame, famDim: DataFrame)
 object Dims {
   def default(spark: SparkSession): Dims =
-    Dims(graft.synth.PageSynth.hostDim(spark), graft.synth.PageSynth.langDim(spark))
+    Dims(graft.synth.PageSynth.hostDim(spark), graft.synth.PageSynth.langDim(spark),
+      Disjoint.famDim(spark))
 }

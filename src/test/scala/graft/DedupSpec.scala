@@ -9,6 +9,19 @@ import graft.synth.PageSynth
   * over collapsed distinct-text groups.
   */
 class DedupSpec extends AnyFunSuite {
+
+  test("native minhash signature is bit-identical to the declarative spelling") {
+    val spark = TestSpark.spark
+    val pages = graft.synth.PageSynth.pages(spark, TestSpark.sf0001)
+    val sh = Dedup.corpusGroups(pages)
+      .select(col("rep"), Dedup.hashedShingles(col("norm")).as("hs"))
+    val diff = sh.select(col("rep"),
+        Dedup.signature(col("hs")).as("native"),
+        Dedup.signatureDeclarative(col("hs")).as("decl"))
+      .where(not(col("native") <=> col("decl")))
+      .count()
+    assert(diff == 0)
+  }
   private lazy val spark = TestSpark.spark
   private lazy val pages = PageSynth.pages(spark, TestSpark.sf0001).cache()
 

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.checks.Disjoint
+import graft.synth.PageSynth
+
+/** Disjoint-membership check vs the independent SynthModel re-derivation
+  * (entity = url, classes = script families of observed langs).
+  */
+class DisjointSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  // sf0.01: big enough that disjoint entities actually occur (sf0.001
+  // has no multi-family url)
+  private lazy val pages = PageSynth.pages(spark, TestSpark.sf001)
+  private lazy val model: Seq[SynthModel.MPage] = {
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+    docs.map(r => SynthModel.page(r.getLong(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  private val famOf = Disjoint.Families.toMap
+
+  private def modelEntities: Map[String, Set[String]] =
+    model.filter(_.lang.isDefined)
+      .flatMap(p => famOf.get(p.lang.get).map(f => p.url -> f))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("verdict matches model-derived entity/violation counts") {
+    val exp = modelEntities
+    val expViol = exp.count(_._2.size > 1) // two families total ⇒ >1 = disjoint pair
+    val row = Disjoint.verdict(pages, Disjoint.famDim(spark)).collect()(0)
+    assert(row.getAs[Long]("n_entities") == exp.size)
+    assert(row.getAs[Long]("violations") == expViol)
+    assert(expViol > 0, "fixture must contain at least one disjoint entity")
+  }
+
+  test("violating entities list the conflicting families") {
+    val got = Disjoint.violatingEntities(pages, Disjoint.famDim(spark)).collect()
+    val expUrls = modelEntities.filter(_._2.size > 1).keySet
+    assert(got.map(_.getString(0)).toSet == expUrls)
+    got.foreach(r => assert(r.getAs[String]("families") == "cjk,latin"))
+  }
+}

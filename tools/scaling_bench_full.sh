@@ -5,13 +5,20 @@
 # BENCH/spin_ceiling.json: pure-CPU spin efficiency is ~0.95 at 4->16
 # but only ~0.68 at 8->32 — the machine, not the engine, caps the
 # latter), with 8 and 32 measured anyway for transparency.
+#
+# Phases launch via tools/run_main.sh (plain java on a classpath
+# snapshot) — a full sweep takes tens of minutes and must not hold the
+# sbt build lock.
 set -e
 cd /root/repo
-export SPARK_GRAFT_BENCH_DOCS=${SPARK_GRAFT_BENCH_DOCS:-24000000}
+export SPARK_GRAFT_BENCH_DOCS=${SPARK_GRAFT_BENCH_DOCS:-96000000}
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
+export GRAFT_CLASSES=$(mktemp -d /tmp/graft_classes.XXXX)
+cp -r target/scala-2.13/classes/* "$GRAFT_CLASSES/"
+trap 'rm -rf "$GRAFT_CLASSES"' EXIT
 python3 tools/spin_calibrate.py 4 8 16 32 | tail -1
-sbt -batch "runMain graft.ScalingBench build" 2>/dev/null | grep '\[scaling\]'
+bash tools/run_main.sh ScalingBench build 2>/dev/null | grep '\[scaling\]'
 for N in 4 8 16 32; do
-  taskset -c 0-$((N - 1)) sbt -batch "runMain graft.ScalingBench measure $N" 2>/dev/null | grep '\[scaling\]'
+  taskset -c 0-$((N - 1)) bash tools/run_main.sh ScalingBench measure $N 2>/dev/null | grep '\[scaling\]'
 done
-sbt -batch "runMain graft.ScalingBench report 4 16" 2>/dev/null | grep -v '^\[info\] *$' | sed 's/^\[info\] //' | tail -40
+bash tools/run_main.sh ScalingBench report 4 16 2>/dev/null
