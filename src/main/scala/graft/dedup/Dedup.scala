@@ -149,11 +149,23 @@ object Dedup {
     * quadratic in group size by definition).
     */
   def minhashPairs(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    // `sh` feeds four consumers (both sides of the band self-join and
+    // both verification sides). Self-join sides get fresh attribute ids
+    // (DeduplicateRelations), and AQE's stage-reuse cache does not
+    // collapse these subtrees here — measured: the groupBy + md5
+    // shingling re-executed 4×, 3/4 of the operator's wall-clock. So
+    // cache the two compact intermediates explicitly (Spark ML's LSH
+    // does the same): `sh` is distinct-text scale (rep + ~200 ints),
+    // `bands` is keys-only; MEMORY_AND_DISK spills rather than OOMs at
+    // 100 TB, and the ContextCleaner drops the blocks once the returned
+    // plan is unreferenced.
     val sh = corpusGroups(pages)
       .select(col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band join: keys only, no arrays
     val bands = sh.select(col("rep"), explode(bandKeys(signature(col("hs")))).as("b"))
       .select(col("rep"), col("b.band_id"), col("b.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("rep").as("rep_a"), col("band_id"), col("band_hash"))
       .join(bands.select(col("rep").as("rep_b"), col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"))
@@ -176,10 +188,16 @@ object Dedup {
   def tokenHashes(norm: Column): Column =
     transform(split(norm, " "), t => hex15Int(t))
 
-  /** 60-bit SimHash (per-bit majority vote of token hashes), as a pure
-    * column expression.
+  /** 60-bit SimHash (per-bit majority vote of token hashes). Native
+    * one-pass expression ([[graft.functions.SimHash]]) — the 60-fold
+    * `aggregate(...)` spelling re-walks the token array per bit in
+    * interpreted eval (minutes at 5k docs); values are identical.
     */
-  def simhash(norm: Column): Column = {
+  def simhash(norm: Column): Column =
+    graft.functions.SimHashFn.simhash(tokenHashes(norm), SimhashBits)
+
+  /** The pre-round-2 declarative simhash, kept for the parity spec. */
+  private[graft] def simhashDeclarative(norm: Column): Column = {
     val hs = tokenHashes(norm)
     (0 until SimhashBits).map { i =>
       val vote = aggregate(hs, lit(0L),
@@ -194,8 +212,11 @@ object Dedup {
     * (url_a, url_b, hamming, n_docs_a, n_docs_b), ordered.
     */
   def simhashPairs(pages: DataFrame, maxHamming: Int = HammingThreshold): DataFrame = {
+    // shared materialization barrier (see minhashPairs): `docs` feeds
+    // both sides of the chunk self-join
     val docs = corpusGroups(pages)
       .select(col("rep"), col("n_docs"), simhash(col("norm")).as("sh64"))
+      .repartition(col("rep"))
     val chunks = docs.select(col("rep"), col("sh64"), col("n_docs"),
       explode(array((0 until SimhashChunks).map { c =>
         struct(lit(c).as("chunk_id"),
@@ -250,33 +271,74 @@ object Dedup {
     * (entities), not pairs (ExtensionalConciseness.java:92-140) — the
     * cluster map is what turns pairs back into entity-level dedup.
     */
-  def clusters(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+  /** Above this many verified pairs, cluster formation switches from
+    * driver-side union-find to the distributed label-propagation loop.
+    * The pair list is representative-level (post exact-dup collapse,
+    * post Jaccard verification), so even web-scale corpora typically
+    * stay far under it; 2M pairs ≈ a few hundred MB of driver strings.
+    */
+  val UnionFindMaxPairs = 2000000L
+
+  def clusters(pages: DataFrame, threshold: Double = JaccardThreshold,
+      unionFindMaxPairs: Long = UnionFindMaxPairs): DataFrame = {
+    val spark = pages.sparkSession
     val groups = corpusGroups(pages).persist()
     // persist the pair list BEFORE the symmetric union: both union
     // branches read the same (expensive) LSH pipeline, and an
     // unpersisted `pairs` executes it twice
     val pairs = minhashPairs(pages, threshold)
       .select(col("url_a"), col("url_b")).persist()
-    val edges = pairs
-      .union(pairs.select(col("url_b"), col("url_a")))
-      .toDF("src", "dst").persist()
+    val nPairs = pairs.count()
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      val msgs = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.select("node", "label").union(msgs)
-        .groupBy("node").agg(min("label").as("label")).persist()
-      changed = next.as("n").join(labels.as("o"), "node")
-        .where(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
+    var labels: DataFrame = null
+    if (nPairs <= unionFindMaxPairs) {
+      // exact driver-side union-find over the bounded pair list —
+      // O(E·α) and zero iterative jobs; min-url root for determinism
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val edgeRows = pairs.collect()
+      pairs.unpersist()
+      edgeRows.foreach { row =>
+        val (a, b) = (row.getString(0), row.getString(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min label keeps roots deterministic
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = edgeRows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+      import spark.implicits._
+      labels = nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+    } else {
+      // distributed min-label propagation over the edge set only —
+      // O(component diameter) rounds of join + min-aggregate
+      val edges = pairs
+        .union(pairs.select(col("url_b"), col("url_a")))
+        .toDF("src", "dst").persist()
+      labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val msgs = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.select("node", "label").union(msgs)
+          .groupBy("node").agg(min("label").as("label")).persist()
+        changed = next.as("n").join(labels.as("o"), "node")
+          .where(col("n.label") =!= col("o.label")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      require(changed == 0, s"cluster label propagation did not converge in $iter rounds")
+      edges.unpersist()
+      pairs.unpersist()
     }
-    require(changed == 0, s"cluster label propagation did not converge in $iter rounds")
 
     // exact-dup groups with no near-dup edge form their own cluster
     val dupReps = groups.where(col("n_docs") > 1).select(col("rep").as("node"))
@@ -296,8 +358,6 @@ object Dedup {
       .orderBy("url", "cluster_rep")
     // NB: groups/labels stay persisted until the returned plan executes;
     // they are distinct-text- and edge-scale (small), not corpus-scale.
-    edges.unpersist()
-    pairs.unpersist()
     out
   }
 }

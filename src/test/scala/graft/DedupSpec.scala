@@ -22,6 +22,27 @@ class DedupSpec extends AnyFunSuite {
       .count()
     assert(diff == 0)
   }
+
+  test("cluster formation: driver union-find equals distributed label propagation") {
+    val spark = TestSpark.spark
+    val pages = PageSynth.pages(spark, TestSpark.sf001)
+    val fast = Dedup.clusters(pages).collect().map(_.toString).sorted.toSeq
+    val dist = Dedup.clusters(pages, unionFindMaxPairs = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fast == dist)
+    assert(fast.nonEmpty)
+  }
+
+  test("native simhash is bit-identical to the declarative spelling") {
+    val spark = TestSpark.spark
+    val pages = graft.synth.PageSynth.pages(spark, TestSpark.sf0001)
+    val diff = Dedup.corpusGroups(pages)
+      .select(Dedup.simhash(col("norm")).as("native"),
+        Dedup.simhashDeclarative(col("norm")).as("decl"))
+      .where(not(col("native") <=> col("decl")))
+      .count()
+    assert(diff == 0)
+  }
   private lazy val spark = TestSpark.spark
   private lazy val pages = PageSynth.pages(spark, TestSpark.sf0001).cache()
 
