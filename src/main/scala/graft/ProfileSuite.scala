@@ -3,52 +3,73 @@ package graft
 import org.apache.spark.sql.{SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
 import graft.checks._
-import graft.runtime.{PageTable, CheckSuite, Dims}
+import graft.runtime.{PageTable, CheckSuite, Dims, SuiteRunner}
 import graft.model.CheckId
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Sub-step profiler for CheckSuite.run (diagnostic main, not part of
-  * the driver contract).
+  * the driver contract). Mirrors the phases of CheckSuite.run over the
+  * pre-built scaling table so each component's share of the end-to-end
+  * assessment is visible.
   */
 object ProfileSuite {
   def main(args: Array[String]): Unit = {
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "32000000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "96000000").toLong
     val root = sys.env.getOrElse("SPARK_GRAFT_TABLE_DIR",
       s"/dev/shm/metricsspark_scaling_$benchDocs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "128")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm/spark_local")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("audit", "results", "violations").foreach { d =>
-      val p = Paths.get(root, d)
-      if (Files.exists(p)) Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    def clearOut(): Unit =
+      Seq("audit", "results", "violations").foreach { d =>
+        val p = Paths.get(root, d)
+        if (Files.exists(p)) Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    clearOut()
     def t(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); f
       println(f"[psuite] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     val dims = Dims.default(spark)
     val pages = PageTable.read(spark, root).drop("pday")
-    val joined = pages
+    val joined = graft.text.TextOps.withDerived(pages)
       .withColumn("host", Referential.hostExpr)
       .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
       .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
-    val allPreds = Conformance.preds ++ CheckSuite.refPreds
+    val allPreds = Conformance.preds ++ CheckSuite.refPreds ++ graft.text.TextOps.preds
     t("warm_count")(pages.count())
-    t("perday_agg")(FusedChecks.resultsByDay(joined, allPreds).count())
-    t("viol_fused")(FusedChecks.violations(joined, allPreds, ordered = false).count())
+    t("perday_fused_agg")(FusedChecks.resultsByDay(joined, allPreds).count())
+    t("completeness")(Completeness.verdictRows(pages, dims.langDim).count())
+    t("est_conform_url")(Sampling.estimatedUrlConformance(pages).count())
+    t("viol_fused")(
+      FusedChecks.violations(joined, allPreds, ordered = false).count())
+    t("viol_missing_members")(Completeness.missingLangMembers(pages, dims.langDim).count())
+    t("uniq_verdict")(Uniqueness.urlUniqueness(pages).count())
+    t("dup_text_verdict")(CheckSuite.dupTextVerdict(pages).count())
+    t("drift_combined")(Drift.combined(pages).count())
+    t("exists")(Exists.verdictRows(pages).count())
+    val masks = Disjoint.entityMasks(pages, dims.famDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("disjoint_verdict")(Disjoint.verdictFrom(masks).count())
+    t("disjoint_violations")(
+      CheckSuite.disjointViolations(pages, dims.famDim, masks).count())
+    masks.unpersist()
     t("viol_uniq")(Uniqueness.violations(pages, ordered = false).count())
-    t("viol_write")(
-      FusedChecks.violations(joined, allPreds, ordered = false)
-        .unionByName(Uniqueness.violations(pages, ordered = false))
+    t("viol_cap_write")(
+      CheckSuite.capViolations(
+        FusedChecks.violations(joined, allPreds, ordered = false)
+          .unionByName(Uniqueness.violations(pages, ordered = false)),
+        CheckSuite.MaxViolationRows)
         .withColumn("run_id", lit("prof"))
         .write.mode(SaveMode.Append).parquet(s"$root/violations"))
-    t("uniq_verdict")(Uniqueness.urlUniqueness(pages).count())
-    t("drift_combined")(Drift.combined(pages).count())
+    clearOut()
+    t("suite_end_to_end")(SuiteRunner.assess(spark, root, "prof_e2e").count())
     spark.stop()
   }
 }

@@ -91,19 +91,41 @@ object FusedChecks {
     */
   val pday: Column = coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"), lit("null"))
 
-  /** All predicate checks in ONE scan: per-pday CheckResult rows.
-    * Output schema: (check_id, pday, rows, violations, value, pass),
-    * sorted for determinism.
+  /** Every predicate folded into TWO long bitmask columns: bit i of
+    * `__am` = pred i applicable, bit i of `__bm` = pred i violated.
+    * All other input columns pass through (violation details read
+    * them).
+    *
+    * This shape is what keeps the fused family fast at 96M rows: the
+    * verdict aggregation becomes pure long bit-math (measured 0.43 s vs
+    * 21.8 s for per-pred string/flag columns at 4.2M rows — conditional
+    * string columns defeat the aggregate's subexpression elimination),
+    * and the violations pass filters on `__bm != 0` before any detail
+    * string is built, so detail expressions run only on flagged rows.
+    * No caching needed — the mask pass is cheap enough to run once per
+    * consumer.
     */
-  def resultsByDay(pages: DataFrame, preds: Seq[Pred] = Conformance.preds): DataFrame = {
+  def maskFrame(pages: DataFrame, preds: Seq[Pred] = Conformance.preds): DataFrame = {
+    require(preds.size <= 64, s"bitmask fold supports at most 64 preds, got ${preds.size}")
+    val am = preds.zipWithIndex.map { case (p, i) =>
+      when(p.applicable, lit(1L << i)).otherwise(0L) }.reduce(_ + _)
+    val bm = preds.zipWithIndex.map { case (p, i) =>
+      when(p.applicable && p.bad, lit(1L << i)).otherwise(0L) }.reduce(_ + _)
+    pages.withColumn("pday", pday)
+      .withColumn("__am", am)
+      .withColumn("__bm", bm)
+  }
+
+  /** Per-pday CheckResult rows from a [[maskFrame]]. */
+  def resultsFromMasks(masks: DataFrame, preds: Seq[Pred]): DataFrame = {
     // '.' in a check id would read as struct-field access in col()
     def safe(id: String): String = id.replace('.', '_')
-    val aggs = preds.flatMap { p =>
+    val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
       Seq(
-        sum(when(p.applicable, 1L).otherwise(0L)).as(s"${safe(p.id)}__n_rows"),
-        sum(when(p.applicable && p.bad, 1L).otherwise(0L)).as(s"${safe(p.id)}__bad"))
+        sum(shiftright(col("__am"), i).bitwiseAND(lit(1L))).as(s"${safe(p.id)}__n_rows"),
+        sum(shiftright(col("__bm"), i).bitwiseAND(lit(1L))).as(s"${safe(p.id)}__bad"))
     }
-    val wide = pages.withColumn("pday", pday)
+    val wide = masks
       .groupBy(col("pday"))
       .agg(aggs.head, aggs.tail: _*)
     // wide → long: one struct per check, exploded
@@ -126,32 +148,44 @@ object FusedChecks {
       .orderBy("check_id", "pday")
   }
 
+  /** All predicate checks in ONE scan: per-pday CheckResult rows.
+    * Output schema: (check_id, pday, rows, violations, value, pass),
+    * sorted for determinism.
+    */
+  def resultsByDay(pages: DataFrame, preds: Seq[Pred] = Conformance.preds): DataFrame =
+    resultsFromMasks(maskFrame(pages, preds), preds)
+
+  /** Violation rows from a [[maskFrame]]: filter on `__bm != 0` (long
+    * compare — the only expression pushed below the mask projection),
+    * then explode one struct per set bit; detail strings are built only
+    * for rows that passed the filter. Null entries are dropped AFTER
+    * explode — the higher-order `filter(arr, lambda)` (ArrayFilter) is
+    * CodegenFallback and would pull the projection out of whole-stage
+    * codegen; explode + null-filter stays codegen'd.
+    */
+  def violationsFromMasks(masks: DataFrame, preds: Seq[Pred],
+      ordered: Boolean = true): DataFrame = {
+    val structs = preds.zipWithIndex.map { case (p, i) =>
+      when(shiftright(col("__bm"), i).bitwiseAND(lit(1L)) === 1L,
+        struct(lit(p.id).as("check_id"), lit(p.kind).as("kind"),
+          coalesce(p.detail.cast("string"), lit("null")).as("detail")))
+        .otherwise(lit(null))
+    }
+    val out = masks.where(col("__bm") =!= 0L)
+      .select(explode(array(structs: _*)).as("f"), col("pday"),
+        coalesce(col("url"), lit("null")).as("url"))
+      .where(col("f").isNotNull)
+      .select(col("f.check_id"), col("f.kind"), col("pday"), col("url"),
+        col("f.detail"))
+    if (ordered) out.orderBy("check_id", "url", "pday", "detail") else out
+  }
+
   /** All predicate-check violations in ONE scan. `ordered=false` skips
     * the global sort (a range-partitioned sort executes the upstream
     * twice — sampling + sort — so sinks that don't need order, like the
     * suite's parquet violation log, must not pay for it).
     */
   def violations(pages: DataFrame, preds: Seq[Pred] = Conformance.preds,
-      ordered: Boolean = true): DataFrame = {
-    val structs = preds.map { p =>
-      when(p.applicable && p.bad,
-        struct(lit(p.id).as("check_id"), lit(p.kind).as("kind"),
-          coalesce(p.detail.cast("string"), lit("null")).as("detail")))
-        .otherwise(lit(null))
-    }
-    // Cheap scalar pre-filter first: only ~the defect fraction of rows
-    // survives the codegen'd OR-chain, so the struct-array work runs on
-    // a tiny subset. Null entries are dropped AFTER explode — the
-    // higher-order `filter(arr, lambda)` (ArrayFilter) is
-    // CodegenFallback and would pull the whole projection out of
-    // whole-stage codegen; explode + null-filter stays codegen'd.
-    val anyBad = preds.map(p => p.applicable && p.bad).reduce(_ || _)
-    val out = pages.where(anyBad)
-      .withColumn("pday", pday)
-      .select(explode(array(structs: _*)).as("f"), col("pday"), col("url"))
-      .where(col("f").isNotNull)
-      .select(col("f.check_id"), col("f.kind"), col("pday"),
-        coalesce(col("url"), lit("null")).as("url"), col("f.detail"))
-    if (ordered) out.orderBy("check_id", "url", "pday", "detail") else out
-  }
+      ordered: Boolean = true): DataFrame =
+    violationsFromMasks(maskFrame(pages, preds), preds, ordered)
 }

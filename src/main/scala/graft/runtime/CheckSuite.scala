@@ -95,6 +95,12 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
         .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
       val allPreds = Conformance.preds ++ CheckSuite.refPreds ++ graft.text.TextOps.preds
+      // the predicate bank folds into two long bitmasks (FusedChecks.
+      // maskFrame): the verdict agg is pure bit-math and the violations
+      // pass builds detail strings only for rows whose violation mask is
+      // non-zero — the round-2 profile measured ~12 heavy re-evaluations
+      // per row on the naive fused spelling, and 20-100× overhead for
+      // per-pred flag/detail columns or a columnar cache of them
       val fusedByDay = FusedChecks.resultsByDay(joined, allPreds)
 
       // two more per-day checks, each a tiny column-pruned aggregation:
@@ -126,13 +132,17 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
           (col("base_rows") + col("cur_rows")).as("n_rows"),
           lit(0L).as("violations"), col("value"), col("pass"))
         val exists = Exists.verdictRows(full)
-        val disjoint = Disjoint.verdict(full, dims.famDim).select(
+        // one groupBy(url) bit_or shuffle serves both the verdict and
+        // the violation listing (MEMORY_AND_DISK: url + one long)
+        val disjointMasks = Disjoint.entityMasks(full, dims.famDim)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val disjoint = Disjoint.verdictFrom(disjointMasks).select(
           lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
           col("n_entities").as("n_rows"), col("violations"), col("value"),
           col("pass"))
         val wholeViol = Uniqueness.violations(full, ordered = false)
           .unionByName(CheckSuite.dupTextViolations(full))
-          .unionByName(CheckSuite.disjointViolations(full, dims.famDim))
+          .unionByName(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
         (perDay.unionByName(uniq).unionByName(dupText)
            .unionByName(drift).unionByName(exists).unionByName(disjoint),
           batchViol.unionByName(wholeViol))
@@ -244,10 +254,12 @@ object CheckSuite {
       .withColumn("pass", col("value") >= 0.9)
 
   /** Disjoint-membership violation rows (the problem-report analog of
-    * AdvancedEntitiesAsMembersOfDisjointClasses.createProblemModel).
+    * AdvancedEntitiesAsMembersOfDisjointClasses.createProblemModel),
+    * from a pre-built [[Disjoint.entityMasks]] frame.
     */
-  def disjointViolations(pages: DataFrame, famDim: DataFrame): DataFrame =
-    Disjoint.violatingEntities(pages, famDim).select(
+  def disjointViolations(pages: DataFrame, famDim: DataFrame,
+      masks: DataFrame): DataFrame =
+    Disjoint.violatingFrom(pages, famDim, masks).select(
       lit(CheckId.DisjointLang).as("check_id"),
       lit(graft.model.ViolationKind.DisjointMembership).as("kind"),
       lit("*").as("pday"),

@@ -17,12 +17,20 @@ import graft.checks.FusedChecks
   */
 object TextOps {
 
-  /** Whitespace token count; empty/null-safe. `regexp_count` instead of
-    * `size(split(...))`: same value (separator runs + 1), but no
-    * per-row string-array allocation — this runs on every row of the
-    * benched suite scan.
+  /** `[token_count, s_en, s_fr, s_es, s_de]` in ONE native byte scan
+    * ([[graft.functions.TextStats]]) — the declarative regex/contains
+    * spellings below are kept only for the parity spec; they were the
+    * dominant per-row cost of the suite scan and their wall-clock swung
+    * 10-50× with optimizer plan shape.
     */
+  def textStats(text: Column): Column = graft.functions.TextStatsFn.textStats(text)
+
+  /** Whitespace token count; empty/null-safe. */
   def tokenCount(text: Column): Column =
+    coalesce(element_at(textStats(text), 1), lit(0L))
+
+  /** The pre-round-2 declarative token count, kept for the parity spec. */
+  private[graft] def tokenCountDeclarative(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, 0L)
       .otherwise((regexp_count(trim(text), lit("\\s+")) + 1).cast("long"))
 
@@ -40,15 +48,41 @@ object TextOps {
     words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
       .reduce(_ + _)
 
-  /** Number of distinct profile stopwords present in the text. */
+  /** Number of distinct profile stopwords present in the text.
+    * Profile lists route through the native scan; arbitrary word lists
+    * fall back to the declarative contains-chain.
+    */
   def profileHits(text: Column, words: Seq[String]): Column =
+    StopwordProfiles.indexWhere(_._2 == words) match {
+      case -1 => profileHitsDeclarative(text, words)
+      case i  => coalesce(element_at(textStats(text), i + 2), lit(0L)).cast("int")
+    }
+
+  /** Declarative contains-chain, kept for the parity spec. */
+  private[graft] def profileHitsDeclarative(text: Column, words: Seq[String]): Column =
     hitsOnPadded(concat(lit(" "), coalesce(text, lit("")), lit(" ")), words)
 
   /** Heuristic language ID: argmax of profile hits, ties resolved in
     * profile order; 'und' (undetermined) when no profile scores ≥ 2.
     */
-  def detectedLang(text: Column): Column = {
-    val scores = StopwordProfiles.map { case (l, ws) => l -> profileHits(text, ws) }
+  def detectedLang(text: Column): Column =
+    detectedFromStats(textStats(text))
+
+  /** Language-ID argmax over a (possibly shared) [[textStats]] column. */
+  def detectedFromStats(stats: Column): Column = {
+    val scores = StopwordProfiles.zipWithIndex.map { case ((l, _), i) =>
+      l -> coalesce(element_at(stats, i + 2), lit(0L))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best >= 2 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Declarative language ID, kept for the parity spec. */
+  private[graft] def detectedLangDeclarative(text: Column): Column = {
+    val scores = StopwordProfiles.map { case (l, ws) =>
+      l -> profileHitsDeclarative(text, ws) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(best >= 2 && s === best, lit(l)).otherwise(acc)
@@ -63,11 +97,15 @@ object TextOps {
     * length band, and stopword presence — the shape of production
     * web-text quality filters, fully deterministic.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityFromStats(textStats(text), text)
+
+  /** Quality score over a (possibly shared) [[textStats]] column. */
+  def qualityFromStats(stats: Column, text: Column): Column = {
+    val nTok = coalesce(element_at(stats, 1), lit(0L)).cast("double")
     val nChars = coalesce(length(text), lit(0)).cast("double")
     val meanTokLen = when(nTok > 0, (nChars - (nTok - 1)) / nTok).otherwise(0.0)
-    val enHits = profileHits(text, StopwordProfiles.head._2).cast("double")
+    val enHits = coalesce(element_at(stats, 2), lit(0L)).cast("double")
     val lenScore = least(nTok / 20.0, lit(1.0))                       // ≥20 tokens → full marks
     val tokLenScore = when(meanTokLen >= 3.0 && meanTokLen <= 10.0, 1.0).otherwise(0.5)
     val stopScore = least(enHits / 3.0, lit(1.0))
@@ -82,33 +120,19 @@ object TextOps {
 
   // ——— suite integration (fused-predicate forms) ———
 
-  /** Adds the derived columns the text predicates reference — the
-    * padded haystack and the per-profile hit counts become real
-    * intermediate columns, each computed ONCE per row (a
-    * multi-referenced projection alias survives CollapseProject), so
-    * fusing both text checks into the suite's single scan does not
-    * re-run the 28-substring detector or the tokenizer per predicate.
-    * Values are identical to [[detectedLang]]/[[qualityScore]].
+  /** Adds the derived columns the text predicates reference. The whole
+    * token/stopword derivation is ONE native byte scan (`__ts`,
+    * [[textStats]]); `detected_lang` and `quality` are cheap arithmetic
+    * over it, so fusing both text checks into the suite's single scan
+    * costs one text pass per row regardless of how the optimizer
+    * rearranges the plan. Values are identical to
+    * [[detectedLang]]/[[qualityScore]].
     */
   def withDerived(pages: DataFrame): DataFrame = {
-    var df = pages.withColumn("__padded",
-      concat(lit(" "), coalesce(col("text"), lit("")), lit(" ")))
-    StopwordProfiles.foreach { case (l, ws) =>
-      df = df.withColumn(s"__s_$l", hitsOnPadded(col("__padded"), ws))
-    }
-    val best = StopwordProfiles.map(p => col(s"__s_${p._1}")).reduce((a, b) => greatest(a, b))
-    val detected = StopwordProfiles.foldRight(lit("und"): Column) { case ((l, _), acc) =>
-      when(best >= 2 && col(s"__s_$l") === best, lit(l)).otherwise(acc)
-    }
-    val nTok = tokenCount(col("text")).cast("double")
-    val nChars = coalesce(length(col("text")), lit(0)).cast("double")
-    val meanTokLen = when(nTok > 0, (nChars - (nTok - 1)) / nTok).otherwise(0.0)
-    val q = least(nTok / 20.0, lit(1.0)) * 0.4 +
-      when(meanTokLen >= 3.0 && meanTokLen <= 10.0, 1.0).otherwise(0.5) * 0.3 +
-      least(col("__s_en").cast("double") / 3.0, lit(1.0)) * 0.3
-    df.withColumn("detected_lang", detected)
-      .withColumn("quality", q)
-      .drop("__padded" +: StopwordProfiles.map(p => s"__s_${p._1}"): _*)
+    val df = pages.withColumn("__ts", textStats(col("text")))
+    df.withColumn("detected_lang", detectedFromStats(col("__ts")))
+      .withColumn("quality", qualityFromStats(col("__ts"), col("text")))
+      .drop("__ts")
   }
 
   val QualityThreshold = 0.5
