@@ -17,6 +17,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "64")
+      // row-heavy compressed synth input (~10 B/row): split scans by
+      // rows, not the 128 MB byte default (see ScalingBench.session)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -33,8 +37,13 @@ object Bench {
       results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
     }
 
-    // headline: full constraint suite over a replicated corpus
-    val root = s"${sys.props("java.io.tmpdir")}/metricsspark_bench_$benchDocs"
+    // headline: full constraint suite over a replicated corpus.
+    // tmpfs when available — the VM disk's writeback stalls add up to
+    // 3x run-to-run variance (same rationale as ScalingBench)
+    val tmpBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else sys.props("java.io.tmpdir")
+    val root = s"$tmpBase/metricsspark_bench_$benchDocs"
     val tBuild = time {
       PageTable.write(PageSynth.replicatedPages(spark, sfDir, benchDocs), root)
     }

@@ -40,6 +40,14 @@ object ScalingBench {
       .master(s"local[$cpus]")
       .appName(s"metricsspark-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", "128")
+      // row-heavy, byte-light input: the dedup-laden corpus compresses
+      // to ~10 B/row, so the default 128 MB split planning caps every
+      // scan stage at ~20 tasks — an N-independent floor that murders
+      // N→4N efficiency (measured S≈108 s at 96M docs). Split by ~2
+      // files (≈2 M rows) per task instead; a real cluster tunes the
+      // same knobs for the same reason.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/spark_local")
@@ -76,8 +84,10 @@ object ScalingBench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up (codegen + JIT)
-      // min-of-3: the sandbox host has noisy neighbors, min is robust
-      val best = Seq(once(), once(), once()).min
+      // min-of-k (default 3): the sandbox host has noisy neighbors, min
+      // is robust; SPARK_GRAFT_RUNS trims long low-level sweeps
+      val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+      val best = Seq.fill(runs)(once()).min
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get(s"BENCH/level_$cpus.json"),
         s"""{"cpus":$cpus,"secs":$best,"docs":$docs}""")

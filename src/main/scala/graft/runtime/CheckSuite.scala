@@ -68,6 +68,16 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
       .collect().map(_.getString(0)).toSet
   }
 
+  // env-gated phase timer (SPARK_GRAFT_PROFILE=1): finds serial tails
+  // without touching the benched path when off
+  private def phase[A](name: String)(f: => A): A =
+    if (sys.env.get("SPARK_GRAFT_PROFILE").isEmpty) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[suite-phase] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
   /** Run (or resume) the suite. `maxPartitions` bounds how many
     * partitions this invocation assesses (micro-batch / incremental
     * mode; also the test hook for resume). Whole-table checks run with
@@ -75,8 +85,8 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
     */
   def run(runId: String, dims: Dims = Dims.default(spark),
       maxPartitions: Option[Int] = None): DataFrame = {
-    val all = PageTable.partitions(tableRoot)
-    val done = donePartitions(runId)
+    val all = phase("list_partitions")(PageTable.partitions(tableRoot))
+    val done = phase("done_partitions")(donePartitions(runId))
     val pending = all.filterNot(done).sorted
     val remaining = maxPartitions.fold(pending)(pending.take)
     val isFinalBatch = remaining.size == pending.size
@@ -157,8 +167,10 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
       // The verdict table is tiny — cache it so the audit write reuses
       // the materialized rows instead of re-executing the whole scan DAG.
       resultsRun.persist()
-      violRun.write.mode(SaveMode.Append).parquet(violationsPath)
-      resultsRun.write.mode(SaveMode.Append).parquet(resultsPath)
+      phase("violations_write")(
+        violRun.write.mode(SaveMode.Append).parquet(violationsPath))
+      phase("results_write")(
+        resultsRun.write.mode(SaveMode.Append).parquet(resultsPath))
 
       val audit = resultsRun.select(
         col("run_id"), col("check_id"), col("pday"),
@@ -168,7 +180,7 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         col("check_id").startsWith("est_").as("estimate"),
         lit(CheckSuite.ParamsJson).as("params"),
         lit(System.currentTimeMillis()).as("finished_ts"))
-      audit.write.mode(SaveMode.Append).parquet(auditPath)
+      phase("audit_write")(audit.write.mode(SaveMode.Append).parquet(auditPath))
       // Fresh complete run: this batch IS the whole verdict table —
       // return the already-materialized cache instead of re-reading the
       // parquet (the read-back is a constant serial tail that the bench
