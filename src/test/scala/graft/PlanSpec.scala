@@ -24,7 +24,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("fused conformance agg runs inside whole-stage codegen") {
-    val p = plan(FusedChecks.resultsByDay(pages))
+    // AQE finalizes the physical plan lazily: the codegen stars only
+    // appear after execution, so run the query before reading the plan
+    val df = FusedChecks.resultsByDay(pages)
+    df.collect()
+    val p = plan(df)
     assert(p.contains("*(")) // whole-stage-codegen stages are starred in toString
     assert(p.contains("HashAggregate")) // hash agg, not sort-based
   }
@@ -63,5 +67,24 @@ class PlanSpec extends AnyFunSuite {
     val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
     val p = plan(graft.sim.Similarity.knnBrute(v, v.where(col("vec_id") < 5)))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("knn top-k bottom-most window partitions by (query_id, salt)") {
+    // the scored set is corpus-sized: a single Window.partitionBy(query_id)
+    // would sort all of one query's N scores in one task at 10^12 rows,
+    // so phase 1 must carry the neighbor-hash salt in its partition keys
+    val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
+    for (df <- Seq(
+        graft.sim.Similarity.knnBrute(v, v.where(col("vec_id") < 5)),
+        graft.sim.Similarity.knnLsh(v, v.where(col("vec_id") < 5)))) {
+      val p = plan(df)
+      val windows = p.split("\n").filter(_.contains("Window [row_number"))
+      assert(windows.length == 2, s"expected the two-phase rank:\n${p.take(1200)}")
+      // the salt expression is pre-projected as _w0, so the bottom-most
+      // window's partition spec must carry query_id plus that extra key
+      val bottom = windows.last
+      assert(bottom.contains("query_id") && bottom.contains("_w0"),
+        s"phase-1 window must partition by (query_id, salt): $bottom")
+    }
   }
 }

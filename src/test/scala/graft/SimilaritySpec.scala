@@ -53,6 +53,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxBucket / n < 0.01, s"max bucket fraction = ${maxBucket / n}")
   }
 
+  test("native cosine is bit-identical to the declarative aggregate/zip_with fold") {
+    val sample = vectors.limit(200)
+      .select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(vectors.limit(7).select(col("embedding").as("b")))
+    val diffs = sample.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineDeclarative(col("a"), col("b")).as("decl"))
+      .where(col("native") =!= col("decl")) // bitwise: NaN-free corpus
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("native hyperplane bands are identical to the declarative per-band dots") {
+    for (bandBits <- Seq(Similarity.NearDupBandBits, Similarity.KnnBandBits)) {
+      val numBands = Similarity.NumPlanes / bandBits
+      val decl = array((0 until numBands).map(b =>
+        Similarity.bandValDeclarative(col("embedding"), b, bandBits)): _*)
+      val diffs = vectors.limit(500)
+        .select(Similarity.bandVals(col("embedding"), bandBits).as("native"), decl.as("decl"))
+        .where(col("native") =!= col("decl"))
+        .count()
+      assert(diffs == 0, s"bandBits=$bandBits")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = vectors.limit(10)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
