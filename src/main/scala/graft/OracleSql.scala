@@ -202,6 +202,23 @@ object OracleSql {
        |  FROM pages WHERE $hostExpr <> '' GROUP BY 1) t
        |ORDER BY host""".stripMargin
 
+  val sampleStratifiedEqualAlloc: String =
+    s"""$cte SELECT host, stratum_rows,
+       | least(CAST(10 AS BIGINT), stratum_rows) AS sample_rows
+       |FROM (
+       |  SELECT $hostExpr AS host, CAST(count(*) AS BIGINT) AS stratum_rows
+       |  FROM pages WHERE $hostExpr <> '' GROUP BY 1) t
+       |ORDER BY host""".stripMargin
+
+  val sampleStratifiedEqualRows: String =
+    s"""$cte, wh AS (SELECT url, warc_epoch, $hostExpr AS host FROM pages WHERE $hostExpr <> ''),
+       |r AS (SELECT host, url,
+       |  row_number() OVER (PARTITION BY host ORDER BY md5(url), url, coalesce(warc_epoch, -1)) AS rnk,
+       |  count(*) OVER (PARTITION BY host) AS n FROM wh)
+       |SELECT host, url FROM r
+       |WHERE rnk <= least(CAST(10 AS BIGINT), n)
+       |ORDER BY host, url""".stripMargin
+
   val sampleStratifiedRows: String =
     s"""$cte, wh AS (SELECT url, warc_epoch, $hostExpr AS host FROM pages WHERE $hostExpr <> ''),
        |r AS (SELECT host, url,
@@ -251,6 +268,49 @@ object OracleSql {
        |      FROM s)
        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  // knn_lsh oracle: the hyperplane band values are deterministic
+  // literals (Similarity.Planes), so DuckDB recomputes each band's
+  // sign-bit packing from the same unrolled left-associated dots and
+  // restricts the ranked candidates to band-sharing pairs — end-to-end
+  // value verification of the LSH retrieval path, not just the cosines.
+  private def planeDotDuck(e: String, p: Int): String =
+    (1 to simDim).map(i => s"$e[$i] * ${graft.sim.Similarity.Planes(p)(i - 1)}")
+      .mkString(" + ")
+
+  private def bandValDuck(e: String, band: Int, bandBits: Int): String =
+    (0 until bandBits).map { j =>
+      s"(CASE WHEN (${planeDotDuck(e, band * bandBits + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val knnLsh: String = {
+    val bandBits = graft.sim.Similarity.KnnBandBits
+    val numBands = graft.sim.Similarity.NumPlanes / bandBits
+    val bandCols = (0 until numBands)
+      .map(b => s"${bandValDuck("e", b, bandBits)} AS b$b").mkString(",\n|  ")
+    val unioned = (0 until numBands)
+      .map(b => s"SELECT vec_id, $b AS band_id, b$b AS band_val FROM cb")
+      .mkString("\nUNION ALL\n")
+    s"""$vecCte,
+       |cb AS (SELECT vec_id,
+       |  $bandCols
+       |  FROM vecs),
+       |cbl AS ($unioned),
+       |qbl AS (SELECT vec_id AS query_id, band_id, band_val FROM cbl WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT qbl.query_id, c.vec_id AS neighbor_id
+       |         FROM cbl c JOIN qbl ON c.band_id = qbl.band_id AND c.band_val = qbl.band_val
+       |         WHERE c.vec_id <> qbl.query_id),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |        round(${cosDuck("vq.e", "vn.e")}, 6) AS cos
+       |      FROM cand
+       |      JOIN vecs vq ON vq.vec_id = cand.query_id
+       |      JOIN vecs vn ON vn.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   val embNearDup: String =
     s"""$vecCte,
@@ -462,6 +522,26 @@ object OracleSql {
        |ORDER BY url, cluster_rep""".stripMargin
   }
 
+  /** Per-cluster doc counts from the same recursive component CTE:
+    * members = Σ n_docs over the cluster's distinct-text groups.
+    */
+  val dedupClusterSizes: String = {
+    val cteRec = cte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cteRec$dedupGroupsCte$minhashPairsCte,
+       |e0 AS (SELECT url_a, url_b FROM bp WHERE jaccard >= ${graft.dedup.Dedup.JaccardThreshold}),
+       |bidir AS (SELECT url_a AS src, url_b AS dst FROM e0 UNION ALL SELECT url_b, url_a FROM e0),
+       |nodes AS (SELECT DISTINCT src AS n FROM bidir UNION SELECT rep FROM grp WHERE n_docs > 1),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT b.dst, r.m FROM reach r JOIN bidir b ON b.src = r.n),
+       |lab AS (SELECT n, min(m) AS cluster_rep FROM reach GROUP BY n)
+       |SELECT l.cluster_rep, CAST(sum(g.n_docs) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_reps
+       |FROM lab l JOIN grp g ON g.rep = l.n
+       |GROUP BY l.cluster_rep ORDER BY cluster_rep""".stripMargin
+  }
+
   val textFingerprintGroups: String =
     s"""$cte SELECT fp, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url FROM (
        | SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp, url
@@ -530,6 +610,51 @@ object OracleSql {
        |     CAST(sum(CASE WHEN url IS NOT NULL AND $u256 < 51 AND NOT regexp_matches(url, '${Conformance.UrlRegex}') THEN 1 ELSE 0 END) AS BIGINT) AS bad_sampled
        |   FROM pages GROUP BY pday) a) b
        |ORDER BY pday""".stripMargin
+
+  /** Mirrors Sampling.estimatedDeclaredVsDerived: the declared-vs-
+    * derived check over the deterministic u256<51 sample, scaled by the
+    * measured ratio (identical double-op order → identical estimates).
+    */
+  val estDeclaredVsDerived: String =
+    s"""$cte, s AS (
+       | SELECT pday, lang, text, url, $scoreCols FROM pages),
+       |d AS (SELECT pday, lang, text, url, $detectedDuck AS detected
+       |      FROM (SELECT *, $bestExpr AS best FROM s) t)
+       |SELECT pday, n_rows, sampled, violations, value, value >= 0.5 AS pass FROM (
+       | SELECT pday, n_rows, sampled,
+       |   CASE WHEN sampled = 0 THEN CAST(0 AS BIGINT)
+       |        ELSE CAST(round(CAST(bad_sampled AS DOUBLE) * CAST(n_rows AS DOUBLE) / CAST(sampled AS DOUBLE), 0) AS BIGINT) END AS violations,
+       |   CASE WHEN sampled = 0 THEN CAST(1.0 AS DOUBLE)
+       |        ELSE 1.0 - CAST(bad_sampled AS DOUBLE) / CAST(sampled AS DOUBLE) END AS value
+       | FROM (
+       |   SELECT pday,
+       |     CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+       |     CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL AND $u256 < 51 AND detected <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+       |     CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL AND $u256 < 51 AND detected <> 'und' AND detected <> lang THEN 1 ELSE 0 END) AS BIGINT) AS bad_sampled
+       |   FROM d GROUP BY pday) a) b
+       |ORDER BY pday""".stripMargin
+
+  /** Mirrors Provenance.hostFlags / verdict: per-dataset (host)
+    * provenance-marker flags via groupBy + max (#25/#26 analog).
+    */
+  private val provFlagsBase: String =
+    s"""pflags AS (
+       | SELECT $hostExpr AS host, CAST(count(*) AS BIGINT) AS n_rows,
+       |   CAST(max(CASE WHEN url IS NOT NULL AND regexp_matches(url, '${Conformance.UrlRegex}') AND url LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT) AS has_https,
+       |   CAST(max(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS has_text
+       | FROM pages WHERE $hostExpr <> '' GROUP BY 1)""".stripMargin
+
+  val provHostFlags: String =
+    s"""$cte, $provFlagsBase
+       |SELECT host, n_rows, has_https, has_text FROM pflags ORDER BY host""".stripMargin
+
+  val provVerdict: String =
+    s"""$cte, $provFlagsBase
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(sum(CASE WHEN has_https = 1 AND has_text = 1 THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+       | 1.0 - CAST(sum(CASE WHEN has_https = 1 AND has_text = 1 THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+       | (1.0 - CAST(sum(CASE WHEN has_https = 1 AND has_text = 1 THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.9 AS pass
+       |FROM pflags""".stripMargin
 
   /** Mirrors Disjoint.verdict / violatingEntities: entity = url,
     * classes = script families of its observed langs, disjoint pair =
@@ -607,6 +732,34 @@ object OracleSql {
          |  FROM cdays d CROSS JOIN cld
          |  LEFT JOIN cobs o ON o.pday = d.pday AND o.lang = cld.lang
          |  GROUP BY d.pday) t""".stripMargin
+    val estDeclaredPart =
+      s"""SELECT 'est_declared_vs_derived' AS check_id, pday, n_rows, violations, value, value >= 0.5 AS pass FROM (
+         | SELECT pday, n_rows,
+         |   CASE WHEN sampled = 0 THEN CAST(0 AS BIGINT)
+         |        ELSE CAST(round(CAST(bad_sampled AS DOUBLE) * CAST(n_rows AS DOUBLE) / CAST(sampled AS DOUBLE), 0) AS BIGINT) END AS violations,
+         |   CASE WHEN sampled = 0 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE 1.0 - CAST(bad_sampled AS DOUBLE) / CAST(sampled AS DOUBLE) END AS value
+         | FROM (
+         |   SELECT pday,
+         |     CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+         |     CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL AND $u256 < 51 AND $detectedDuck <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+         |     CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL AND $u256 < 51 AND $detectedDuck <> 'und' AND $detectedDuck <> lang THEN 1 ELSE 0 END) AS BIGINT) AS bad_sampled
+         |   FROM ps GROUP BY pday) a) b""".stripMargin
+    val provPart =
+      s"""SELECT 'prov_host_flags' AS check_id, '*' AS pday,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN has_https = 1 AND has_text = 1 THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+         | 1.0 - CAST(sum(CASE WHEN has_https = 1 AND has_text = 1 THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+         | (1.0 - CAST(sum(CASE WHEN has_https = 1 AND has_text = 1 THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.9 AS pass
+         |FROM pflags""".stripMargin
+    val nearDupPart =
+      s"""SELECT check_id, pday, n_rows, violations, value, value >= 0.85 AS pass FROM (
+         | SELECT 'near_dup_text' AS check_id, '*' AS pday, t.n_rows, t.violations,
+         |   CASE WHEN t.n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE 1.0 - CAST(t.violations AS DOUBLE) / CAST(t.n_rows AS DOUBLE) END AS value
+         | FROM (SELECT
+         |   (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM grp) AS n_rows,
+         |   (SELECT CAST(coalesce(sum(nd), 0) - count(*) AS BIGINT) FROM nd_sizes) AS violations) t) u""".stripMargin
     val estPart =
       s"""SELECT 'est_conform_url' AS check_id, pday, n_rows, violations, value, value >= 0.99 AS pass FROM (
          | SELECT pday, n_rows,
@@ -680,9 +833,23 @@ object OracleSql {
          |FROM (SELECT p.url, bool_or(f.family = 'latin') AS latin, bool_or(f.family = 'cjk') AS cjk
          |      FROM pages p JOIN (${graft.checks.Disjoint.famDimDuck}) f ON p.lang = f.lang
          |      GROUP BY p.url) ent""".stripMargin
-    val parts = Seq(fusedPart, completenessPart, estPart, hostPart, langPart,
-      uniqPart, dupTextPart, psiPart, ksPart, disjointPart) ++ existsParts
-    s"""$cte, $psCte$completenessBase SELECT * FROM (
+    val parts = Seq(fusedPart, completenessPart, estPart, estDeclaredPart,
+      hostPart, langPart, uniqPart, dupTextPart, psiPart, ksPart,
+      disjointPart, provPart, nearDupPart) ++ existsParts
+    // RECURSIVE for the near-dup connected-component CTE (reach)
+    val cteRec = cte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cteRec, $psCte$completenessBase, $provFlagsBase$dedupGroupsCte$minhashPairsCte,
+       |e0 AS (SELECT url_a, url_b FROM bp WHERE jaccard >= ${graft.dedup.Dedup.JaccardThreshold}),
+       |bidir AS (SELECT url_a AS src, url_b AS dst FROM e0 UNION ALL SELECT url_b, url_a FROM e0),
+       |nodes AS (SELECT DISTINCT src AS n FROM bidir UNION SELECT rep FROM grp WHERE n_docs > 1),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT b.dst, r.m FROM reach r JOIN bidir b ON b.src = r.n),
+       |lab AS (SELECT n, min(m) AS cluster_rep FROM reach GROUP BY n),
+       |nd_sizes AS (SELECT l.cluster_rep, sum(g.n_docs) AS nd
+       |  FROM lab l JOIN grp g ON g.rep = l.n GROUP BY l.cluster_rep)
+       |SELECT * FROM (
        |${parts.mkString("\nUNION ALL\n")}
        |) s ORDER BY check_id, pday""".stripMargin
   }
@@ -728,7 +895,14 @@ object OracleSql {
     "sample_uniform" -> sampleUniform,
     "sample_stratified_alloc" -> sampleStratifiedAlloc,
     "sample_stratified_rows" -> sampleStratifiedRows,
+    "sample_stratified_equal_alloc" -> sampleStratifiedEqualAlloc,
+    "sample_stratified_equal_rows" -> sampleStratifiedEqualRows,
+    "est_declared_vs_derived" -> estDeclaredVsDerived,
+    "prov_host_flags" -> provHostFlags,
+    "prov_verdict" -> provVerdict,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     "knn_brute" -> knnBrute,
+    "knn_lsh" -> knnLsh,
     "emb_near_dup" -> embNearDup,
     "completeness_expected" -> completenessExpected,
     "completeness_missing" -> completenessMissing,

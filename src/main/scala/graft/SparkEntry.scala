@@ -73,10 +73,18 @@ object SparkEntry {
     "drift_lang_hist" -> ((s, dir) => Drift.langHistogram(pages(s, dir))),
     "drift_lang_psi" -> ((s, dir) => Drift.langPsi(pages(s, dir))),
     "drift_hour_ks" -> ((s, dir) => Drift.hourKs(pages(s, dir))),
-    // deterministic sampling
+    // deterministic sampling (#29/#30: proportional-with-cap and
+    // equal-allocation stratified variants)
     "sample_uniform" -> ((s, dir) => Sampling.uniformSampleStats(pages(s, dir))),
     "sample_stratified_alloc" -> ((s, dir) => Sampling.stratifiedAllocation(pages(s, dir))),
     "sample_stratified_rows" -> ((s, dir) => Sampling.stratifiedSample(pages(s, dir))),
+    "sample_stratified_equal_alloc" -> ((s, dir) => Sampling.stratifiedEqualAllocation(pages(s, dir))),
+    "sample_stratified_equal_rows" -> ((s, dir) => Sampling.stratifiedSampleEqual(pages(s, dir))),
+    // sampled composition over the expensive derivation check (#32)
+    "est_declared_vs_derived" -> ((s, dir) => Sampling.estimatedDeclaredVsDerived(pages(s, dir))),
+    // per-group provenance flags (#25/#26 groupBy(host).agg(max(flag)))
+    "prov_host_flags" -> ((s, dir) => Provenance.hostFlags(pages(s, dir))),
+    "prov_verdict" -> ((s, dir) => Provenance.verdict(pages(s, dir))),
     // multimodal binary-column plumbing + byte-identity invariant
     "mm_html_meta" -> ((s, dir) => graft.multimodal.Multimodal.htmlMeta(pages(s, dir))),
     "mm_html_digests" -> ((s, dir) => graft.multimodal.Multimodal.htmlDigests(pages(s, dir))),
@@ -94,6 +102,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) => graft.dedup.Dedup.minhashPairs(pages(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(pages(s, dir))),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.clusters(pages(s, dir))),
+    "dedup_cluster_sizes" -> ((s, dir) => graft.dedup.Dedup.clusterSizes(pages(s, dir))),
     // similarity search over embeddings (+ injected near-dup copies)
     "knn_brute" -> ((s, dir) => {
       val v = graft.synth.EmbSynth.vectors(s, dir)

@@ -61,19 +61,25 @@ object Disjoint {
     }.reduce(_ || _)
 
   /** Per-entity family bitmask — the one corpus-scale aggregation of
-    * this check (primitive `bit_or` hash agg). The entity key is
-    * `xxhash64(url)` — the same 8-byte-key trade [[Uniqueness]] makes:
-    * the shuffle carries (long, long) pairs instead of url strings
-    * (measured 156 s → seconds at 96M rows), and the violating urls are
-    * recovered afterwards by a broadcast semi-join on the (tiny) flagged
-    * hash set. Callers needing both the verdict and the violation
-    * listing (CheckSuite) persist this frame and pass it to
-    * [[verdictFrom]] / [[violatingFrom]].
+    * this check (primitive `bit_or` hash agg). The entity key is a
+    * **128-bit** pair of independent xxhash64 values (plain + seeded) —
+    * the same small-key trade [[Uniqueness]] makes (the shuffle carries
+    * 16 bytes instead of url strings; measured 156 s → seconds at 96M
+    * rows), but collision-safe at design scale: a single 64-bit key at
+    * 10^12 entities expects tens of thousands of colliding pairs, each
+    * of which would merge two urls' masks and mint spurious disjoint
+    * verdicts with no exact-recovery step to catch them; at 128 bits
+    * the expectation is ~1e-14. The violating urls are recovered
+    * afterwards by a broadcast semi-join on the (tiny) flagged key set.
+    * Callers needing both the verdict and the violation listing
+    * (CheckSuite) persist this frame and pass it to [[verdictFrom]] /
+    * [[violatingFrom]].
     */
   def entityMasks(pages: DataFrame, dim: DataFrame): DataFrame =
     pages.where(col("lang").isNotNull)
       .join(broadcast(dim.select("lang", "fam_bit")), Seq("lang"))
-      .groupBy(xxhash64(col("url")).as("url_h"))
+      .groupBy(xxhash64(col("url")).as("url_h"),
+        xxhash64(lit(1L), col("url")).as("url_h2"))
       .agg(bit_or(col("fam_bit")).as("fam_mask"))
 
   /** Whole-table verdict from a pre-built mask frame. */
@@ -93,10 +99,11 @@ object Disjoint {
     * collect_set runs on the tiny subset.
     */
   def violatingFrom(pages: DataFrame, dim: DataFrame, masks: DataFrame): DataFrame = {
-    val bad = masks.where(maskDisjoint(col("fam_mask"))).select("url_h")
+    val bad = masks.where(maskDisjoint(col("fam_mask"))).select("url_h", "url_h2")
     pages.where(col("lang").isNotNull)
       .withColumn("url_h", xxhash64(col("url")))
-      .join(broadcast(bad), Seq("url_h"), "left_semi")
+      .withColumn("url_h2", xxhash64(lit(1L), col("url")))
+      .join(broadcast(bad), Seq("url_h", "url_h2"), "left_semi")
       .join(broadcast(dim.select("lang", "family")), Seq("lang"))
       .groupBy(col("url"))
       .agg(collect_set(col("family")).as("fams"),

@@ -26,15 +26,36 @@ object Exists {
       col("lang") === "en" && col("text").isNotNull && length(col("text")) > 0,
       "a queryable English document exists"))
 
+  /** Rows scanned by the cheap positive probe before falling back to
+    * the one fused full scan.
+    */
+  val ProbeRows = 100000
+
   /** Run every probe; output (check_id, value ∈ {0,1}, pass), one row
     * per check, in declaration order.
+    *
+    * Two-phase (round-3 shape): ONE bounded job evaluates every
+    * predicate over the first [[ProbeRows]] rows (`limit` + fused
+    * `max(when(p,1))` agg — positive evidence from any subset is
+    * valid). Only predicates not witnessed there fall back to ONE fused
+    * full-scan aggregate proving presence/absence exactly. The previous
+    * per-check `filter(pred).limit(1).count()` probes were 3 serial
+    * jobs, and each *negative* probe was its own full table scan.
     */
   def results(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
+    def fusedScan(df: DataFrame, cs: Seq[ExistsCheck]): Map[String, Long] = {
+      val aggs = cs.map(c => coalesce(max(when(c.pred, 1L).otherwise(0L)), lit(0L)).as(c.id))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cs.map(c => c.id -> row.getAs[Long](c.id)).toMap
+    }
+    val head = fusedScan(pages.limit(ProbeRows), checks)
+    val missing = checks.filter(c => head(c.id) == 0L)
+    val full = if (missing.isEmpty) Map.empty[String, Long] else fusedScan(pages, missing)
     checks.map { c =>
-      val found = pages.where(c.pred).limit(1).count() // early-stop probe
-      (c.id, found, found == 1L)
+      val v = full.getOrElse(c.id, head(c.id))
+      (c.id, v, v == 1L)
     }.toDF("check_id", "value", "pass")
   }
 

@@ -90,11 +90,56 @@ object Sampling {
       .orderBy("pday")
   }
 
+  /** Sampled composition for the *expensive* text-derivation check
+    * (#32 EstimatedMisreportedContentType: the declared-vs-derived
+    * comparison run over the sample only, scaled back up). The
+    * language derivation — the costly part at 100 TB — is evaluated
+    * under `when(inSample, …)`, so only ~20% of rows pay for it;
+    * `n_rows` (the scaling denominator) needs only null/length checks.
+    *
+    * Output: (pday, n_rows, sampled, violations, value, pass) where
+    * `sampled` counts in-sample rows with a confident derivation,
+    * `violations` the scaled misreport estimate, `value` the in-sample
+    * conformance ratio.
+    */
+  def estimatedDeclaredVsDerived(pages: DataFrame, threshold256: Int = 51,
+      threshold: Double = 0.5): DataFrame = {
+    val inSample = expr(U256Sql) < threshold256
+    val applicable = col("text").isNotNull && length(col("text")) > 0 && col("lang").isNotNull
+    val detected = graft.text.TextOps.detectedLang(col("text"))
+    pages.withColumn("pday", FusedChecks.pday)
+      .withColumn("det", when(inSample && applicable, detected))
+      .groupBy(col("pday"))
+      .agg(
+        sum(when(applicable, 1L).otherwise(0L)).as("n_rows"),
+        sum(when(col("det").isNotNull && col("det") =!= "und", 1L).otherwise(0L)).as("sampled"),
+        sum(when(col("det").isNotNull && col("det") =!= "und" && col("det") =!= col("lang"), 1L)
+          .otherwise(0L)).as("bad_sampled"))
+      .withColumn("violations",
+        when(col("sampled") === 0, 0L).otherwise(
+          round(col("bad_sampled").cast("double") * col("n_rows").cast("double")
+            / col("sampled").cast("double"), 0).cast("long")))
+      .withColumn("value",
+        when(col("sampled") === 0, 1.0).otherwise(
+          lit(1.0) - col("bad_sampled").cast("double") / col("sampled").cast("double")))
+      .withColumn("pass", col("value") >= threshold)
+      .select("pday", "n_rows", "sampled", "violations", "value", "pass")
+      .orderBy("pday")
+  }
+
   private def withHost(pages: DataFrame): DataFrame =
     pages.withColumn("host", Referential.hostExpr).where(col("host") =!= "")
 
   private def takeExpr(n: org.apache.spark.sql.Column, cap: Int) =
     least(lit(cap.toLong), floor((n + 4) / lit(5.0)).cast("long"))
+
+  /** Equal-allocation take: a fixed cap per stratum regardless of its
+    * size (the reference's per-TLD fixed-cap scheme,
+    * EstimatedDereferenceabilityByTld.java:56-71 — every TLD gets the
+    * same budget, small strata are fully sampled).
+    */
+  private def takeEqualExpr(n: org.apache.spark.sql.Column, cap: Int) =
+    least(lit(cap.toLong), n)
 
   /** Proportional-allocation table by host with a per-stratum cap:
     * per host take ceil(20%) of its rows, at most `cap`. Pure count
@@ -115,12 +160,34 @@ object Sampling {
     * `take` rows with the smallest md5(url) (deterministic choice).
     * Exact, via the salted two-phase top-k described in the class doc.
     */
-  def stratifiedSample(pages: DataFrame, cap: Int = 25): DataFrame = {
+  def stratifiedSample(pages: DataFrame, cap: Int = 25): DataFrame =
+    stratifiedSampleBy(pages, takeExpr(_, cap))
+
+  /** Equal-allocation variant of [[stratifiedAllocation]] (#29): fixed
+    * per-stratum budget, equal shares. Output
+    * (host, stratum_rows, sample_rows).
+    */
+  def stratifiedEqualAllocation(pages: DataFrame, cap: Int = 10): DataFrame =
+    withHost(pages)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("stratum_rows"))
+      .select(col("host"), col("stratum_rows"),
+        takeEqualExpr(col("stratum_rows"), cap).as("sample_rows"))
+      .orderBy("host")
+
+  /** Equal-allocation sample rows: per host the `min(cap, n)` rows with
+    * the smallest md5(url); same salted two-phase machinery.
+    */
+  def stratifiedSampleEqual(pages: DataFrame, cap: Int = 10): DataFrame =
+    stratifiedSampleBy(pages, takeEqualExpr(_, cap))
+
+  private def stratifiedSampleBy(pages: DataFrame,
+      takeOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val rows = withHost(pages)
       .select(col("host"), col("url"),
         coalesce(col("warc_ts").cast("long"), lit(-1L)).as("ts"))
     val takes = rows.groupBy("host").agg(count(lit(1)).as("n"))
-      .select(col("host"), takeExpr(col("n"), cap).as("take"))
+      .select(col("host"), takeOf(col("n")).as("take"))
     val salted = rows.withColumn("salt", pmod(xxhash64(col("url")), lit(Salts.toLong)))
     val w1 = Window.partitionBy(col("host"), col("salt"))
       .orderBy(md5(col("url")), col("url"), col("ts"))

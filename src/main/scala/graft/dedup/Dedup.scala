@@ -12,7 +12,7 @@ import scala.util.Random
   * and #2 approximates it with Bloom filters
   * (EstimatedExtensionalConciseness.java:40-45). The scalable
   * re-expression is LSH banding — candidate pairs only, never the full
-  * cross product — with two structural guarantees for 100 TB inputs:
+  * cross product — with three structural guarantees for 100 TB inputs:
   *
   *  1. **Exact duplicates collapse first.** Web corpora are dominated by
   *     byte-identical boilerplate; every member of an exact-dup group
@@ -26,6 +26,22 @@ import scala.util.Random
   *     back *after* candidate generation, from a compact
   *     (rep, array<long>) side, only for the pairs that need exact
   *     Jaccard verification.
+  *  3. **No silent quadratic buckets.** Banding's residual hazard is
+  *     many *distinct* templated texts agreeing on a band; buckets over
+  *     [[MaxBucketSize]] reps are dropped from candidate generation
+  *     with a logged drop count (the "no silent caps" rule) — an
+  *     adversarial template cluster degrades recall measurably instead
+  *     of detonating the join.
+  *
+  * Execution model (round 3): the pair operators are **eager** — they
+  * materialize the verified pair list via `localCheckpoint` and
+  * unpersist their compact intermediates before returning. Dataset
+  * `persist` registers the plan in the session CacheManager, which
+  * holds strong references — the ContextCleaner never reclaims those
+  * blocks, so a lazily-returned plan over persisted intermediates
+  * leaks corpus-scale cache for the driver's lifetime. The checkpoint
+  * blocks themselves are plain RDD storage, which the ContextCleaner
+  * *does* free once the returned frame is unreferenced.
   *
   * All hashing is md5-derived (no xxhash64) so the DuckDB oracle
   * recomputes the identical signatures/fingerprints — every operator
@@ -38,6 +54,15 @@ object Dedup {
   val RowsPerBand = 4 // NumHashes / Bands; candidate threshold ≈ (1/24)^(1/4) ≈ 0.45
   val ShingleSize = 3
   val JaccardThreshold = 0.7
+
+  /** Candidate-generation bucket cap: LSH buckets (equal band value /
+    * chunk value) with more than this many distinct-text reps are
+    * dropped, with a logged count. For healthy corpora buckets hold a
+    * handful of reps (the exact-dup collapse already removed identical
+    * texts); a bucket this size means a pathological template family
+    * whose candidate pairs would be quadratic.
+    */
+  val MaxBucketSize = 10000L
 
   /** SimHash: 60 bits (15 hex digits of md5 per token), 4 chunks of 15
     * bits. Pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so the
@@ -141,14 +166,43 @@ object Dedup {
     round(size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double"), 6)
 
+  /** Drop candidate-generation rows in oversized buckets (keys
+    * `keyCols`), logging how many buckets were dropped. `keyed` must
+    * already be materialized (persisted/checkpointed) — the size pass
+    * and the anti-join both re-read it.
+    */
+  private def capBuckets(keyed: DataFrame, keyCols: Seq[String],
+      what: String, maxBucket: Long): DataFrame = {
+    val oversized = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucket)
+      .localCheckpoint(true) // tiny by construction; also gives the count
+    val nOver = oversized.count()
+    if (nOver == 0) keyed
+    else {
+      // no silent caps: an adversarial template family degrades recall
+      // measurably, with the evidence in the log, instead of detonating
+      // the candidate join
+      System.err.println(
+        s"[dedup] $what: dropped $nOver LSH bucket(s) larger than $maxBucket reps " +
+          s"from candidate generation (max size ${oversized.agg(max("bn")).head.getLong(0)})")
+      keyed.join(broadcast(oversized.select(keyCols.map(col): _*)), keyCols, "left_anti")
+    }
+  }
+
   /** MinHash+LSH near-duplicate *representative* pairs, verified with
     * exact Jaccard. Output: (url_a, url_b, jaccard, n_docs_a, n_docs_b)
     * with jaccard ≥ threshold, ordered — url_a/url_b are the min-url
     * representatives of two distinct-text groups, n_docs_* the group
     * sizes (the fan-out accounting; emitting all member pairs would be
     * quadratic in group size by definition).
+    *
+    * Eager: the verified pair list (tiny — defect-rate-bounded) is
+    * materialized before returning and the distinct-text intermediates
+    * are unpersisted (see the class doc on CacheManager leaks).
     */
-  def minhashPairs(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+  def minhashPairs(pages: DataFrame, threshold: Double = JaccardThreshold,
+      maxBucket: Long = MaxBucketSize): DataFrame = {
     // `sh` feeds four consumers (both sides of the band self-join and
     // both verification sides). Self-join sides get fresh attribute ids
     // (DeduplicateRelations), and AQE's stage-reuse cache does not
@@ -156,16 +210,15 @@ object Dedup {
     // shingling re-executed 4×, 3/4 of the operator's wall-clock. So
     // cache the two compact intermediates explicitly (Spark ML's LSH
     // does the same): `sh` is distinct-text scale (rep + ~200 ints),
-    // `bands` is keys-only; MEMORY_AND_DISK spills rather than OOMs at
-    // 100 TB, and the ContextCleaner drops the blocks once the returned
-    // plan is unreferenced.
+    // `bands` is keys-only; MEMORY_AND_DISK spills rather than OOMs.
     val sh = corpusGroups(pages)
       .select(col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band join: keys only, no arrays
-    val bands = sh.select(col("rep"), explode(bandKeys(signature(col("hs")))).as("b"))
+    val bandsAll = sh.select(col("rep"), explode(bandKeys(signature(col("hs")))).as("b"))
       .select(col("rep"), col("b.band_id"), col("b.band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = capBuckets(bandsAll, Seq("band_id", "band_hash"), "minhash", maxBucket)
     val cand = bands.select(col("rep").as("rep_a"), col("band_id"), col("band_hash"))
       .join(bands.select(col("rep").as("rep_b"), col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"))
@@ -174,12 +227,15 @@ object Dedup {
     // verification join: compact (rep, int-array, size) side, pairs only
     val a = sh.select(col("rep").as("rep_a"), col("hs").as("hs_a"), col("n_docs").as("n_docs_a"))
     val b = sh.select(col("rep").as("rep_b"), col("hs").as("hs_b"), col("n_docs").as("n_docs_b"))
-    cand.join(a, "rep_a").join(b, "rep_b")
+    val verified = cand.join(a, "rep_a").join(b, "rep_b")
       .select(col("rep_a").as("url_a"), col("rep_b").as("url_b"),
         jaccard(col("hs_a"), col("hs_b")).as("jaccard"),
         col("n_docs_a"), col("n_docs_b"))
       .where(col("jaccard") >= threshold)
-      .orderBy("url_a", "url_b")
+      .localCheckpoint(true)
+    sh.unpersist()
+    bandsAll.unpersist()
+    verified.orderBy("url_a", "url_b")
   }
 
   /** Per-token 60-bit hashes over normalized text (with repeats —
@@ -209,33 +265,38 @@ object Dedup {
   /** SimHash near-duplicate representative pairs: candidates blocked on
     * any equal 15-bit chunk (pigeonhole-complete for hamming ≤ 3),
     * verified with bit_count(xor). Output
-    * (url_a, url_b, hamming, n_docs_a, n_docs_b), ordered.
+    * (url_a, url_b, hamming, n_docs_a, n_docs_b), ordered. Eager, like
+    * [[minhashPairs]].
     */
-  def simhashPairs(pages: DataFrame, maxHamming: Int = HammingThreshold): DataFrame = {
-    // shared materialization barrier (see minhashPairs): `docs` feeds
-    // both sides of the chunk self-join
+  def simhashPairs(pages: DataFrame, maxHamming: Int = HammingThreshold,
+      maxBucket: Long = MaxBucketSize): DataFrame = {
+    // shared materialization barrier (see minhashPairs): `chunks` feeds
+    // the bucket-size pass and both sides of the chunk self-join
     val docs = corpusGroups(pages)
       .select(col("rep"), col("n_docs"), simhash(col("norm")).as("sh64"))
-      .repartition(col("rep"))
-    val chunks = docs.select(col("rep"), col("sh64"), col("n_docs"),
+    val chunksAll = docs.select(col("rep"), col("sh64"), col("n_docs"),
       explode(array((0 until SimhashChunks).map { c =>
         struct(lit(c).as("chunk_id"),
           shiftright(col("sh64"), c * ChunkBits)
             .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
       }: _*)).as("c"))
       .select(col("rep"), col("sh64"), col("n_docs"), col("c.chunk_id"), col("c.chunk_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = capBuckets(chunksAll, Seq("chunk_id", "chunk_val"), "simhash", maxBucket)
     val l = chunks.select(col("rep").as("url_a"), col("sh64").as("h_a"),
       col("n_docs").as("n_docs_a"), col("chunk_id"), col("chunk_val"))
     val r = chunks.select(col("rep").as("url_b"), col("sh64").as("h_b"),
       col("n_docs").as("n_docs_b"), col("chunk_id"), col("chunk_val"))
-    l.join(r, Seq("chunk_id", "chunk_val"))
+    val verified = l.join(r, Seq("chunk_id", "chunk_val"))
       .where(col("url_a") < col("url_b"))
       .select(col("url_a"), col("url_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"),
         col("n_docs_a"), col("n_docs_b"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("url_a", "url_b")
+      .localCheckpoint(true)
+    chunksAll.unpersist()
+    verified.orderBy("url_a", "url_b")
   }
 
   /** Brute-force Jaccard pairs over the collapsed groups (the O(g²)
@@ -254,23 +315,6 @@ object Dedup {
       .orderBy("url_a", "url_b")
   }
 
-  /** Duplicate-cluster formation: connected components over the
-    * verified near-dup pair graph, plus exact-dup groups as singleton
-    * clusters, fanned back out to every member document. Output:
-    * (url, cluster_rep) for every document that belongs to a duplicate
-    * cluster (exact or near), ordered — the map a training-data
-    * pipeline uses to keep one representative per cluster.
-    *
-    * The pair graph is a small fraction of the corpus (defect-rate
-    * bounded), so iterative min-label propagation — O(diameter) rounds
-    * of join + min-aggregate over the *edge set only* — is the
-    * distributed shape; the full corpus is touched exactly twice (group
-    * + fan-out), never inside the loop.
-    *
-    * Reference analog: ExtensionalConciseness counts unique *subjects*
-    * (entities), not pairs (ExtensionalConciseness.java:92-140) — the
-    * cluster map is what turns pairs back into entity-level dedup.
-    */
   /** Above this many verified pairs, cluster formation switches from
     * driver-side union-find to the distributed label-propagation loop.
     * The pair list is representative-level (post exact-dup collapse,
@@ -279,19 +323,23 @@ object Dedup {
     */
   val UnionFindMaxPairs = 2000000L
 
-  def clusters(pages: DataFrame, threshold: Double = JaccardThreshold,
-      unionFindMaxPairs: Long = UnionFindMaxPairs): DataFrame = {
+  /** Connected-component labels over the verified near-dup pair graph,
+    * plus exact-dup groups with no near-dup edge as singleton clusters.
+    * Returns (groups, labels): `groups` the materialized
+    * distinct-text frame (fp, rep, norm, n_docs), `labels` the
+    * materialized (node, label) map over every clustered rep. Both are
+    * checkpoint-backed — no CacheManager entries survive the call.
+    */
+  def clusterLabels(pages: DataFrame,
+      threshold: Double = JaccardThreshold,
+      unionFindMaxPairs: Long = UnionFindMaxPairs): (DataFrame, DataFrame) = {
     val spark = pages.sparkSession
-    val groups = corpusGroups(pages).persist()
-    // persist the pair list BEFORE the symmetric union: both union
-    // branches read the same (expensive) LSH pipeline, and an
-    // unpersisted `pairs` executes it twice
-    val pairs = minhashPairs(pages, threshold)
-      .select(col("url_a"), col("url_b")).persist()
+    val groups = corpusGroups(pages).localCheckpoint(true)
+    val pairs = minhashPairs(pages, threshold) // eager (checkpointed)
+      .select(col("url_a"), col("url_b"))
     val nPairs = pairs.count()
 
-    var labels: DataFrame = null
-    if (nPairs <= unionFindMaxPairs) {
+    val labels: DataFrame = if (nPairs <= unionFindMaxPairs) {
       // exact driver-side union-find over the bounded pair list —
       // O(E·α) and zero iterative jobs; min-url root for determinism
       val parent = scala.collection.mutable.HashMap.empty[String, String]
@@ -303,7 +351,6 @@ object Dedup {
         r
       }
       val edgeRows = pairs.collect()
-      pairs.unpersist()
       edgeRows.foreach { row =>
         val (a, b) = (row.getString(0), row.getString(1))
         val (ra, rb) = (find(a), find(b))
@@ -313,51 +360,101 @@ object Dedup {
       }
       val nodes = edgeRows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
       import spark.implicits._
-      labels = nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+      nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
     } else {
-      // distributed min-label propagation over the edge set only —
-      // O(component diameter) rounds of join + min-aggregate
+      // distributed min-label propagation over the edge set only, with
+      // a pointer-jumping step per round (label ← min(label,
+      // label-of-label)): O(log diameter) rounds, so long transitive
+      // chains (diameter ≫ rounds) converge instead of tripping a
+      // fixed-round bound
       val edges = pairs
         .union(pairs.select(col("url_b"), col("url_a")))
         .toDF("src", "dst").persist()
-      labels = edges.select(col("src").as("node")).distinct()
+      var lbl = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")).persist()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 25) {
-        val msgs = edges.join(labels, edges("src") === labels("node"))
+      // 64 rounds bounds components of diameter 2^64 — structurally
+      // unreachable; the loop exits on convergence
+      while (changed > 0 && iter < 64) {
+        val msgs = edges.join(lbl, edges("src") === lbl("node"))
           .select(col("dst").as("node"), col("label"))
-        val next = labels.select("node", "label").union(msgs)
-          .groupBy("node").agg(min("label").as("label")).persist()
-        changed = next.as("n").join(labels.as("o"), "node")
+        val viaEdges = lbl.select("node", "label").union(msgs)
+          .groupBy("node").agg(min("label").as("label"))
+        // pointer jump: follow node → label → label(label)
+        val jumped = viaEdges.as("x")
+          .join(lbl.select(col("node").as("jn"), col("label").as("jl")).as("y"),
+            col("x.label") === col("jn"), "left")
+          .select(col("x.node").as("node"),
+            least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
+        val next = jumped.persist()
+        changed = next.as("n").join(lbl.as("o"), "node")
           .where(col("n.label") =!= col("o.label")).count()
-        labels.unpersist()
-        labels = next
+        lbl.unpersist()
+        lbl = next
         iter += 1
       }
       require(changed == 0, s"cluster label propagation did not converge in $iter rounds")
+      val out = lbl.localCheckpoint(true)
+      lbl.unpersist()
       edges.unpersist()
-      pairs.unpersist()
+      out
     }
 
     // exact-dup groups with no near-dup edge form their own cluster
     val dupReps = groups.where(col("n_docs") > 1).select(col("rep").as("node"))
       .except(labels.select("node"))
       .withColumn("label", col("node"))
-    val allLabels = labels.select("node", "label").union(dupReps)
+    val allLabels = labels.select("node", "label").union(dupReps).localCheckpoint(true)
+    (groups, allLabels)
+  }
 
+  /** Duplicate-cluster formation: connected components over the
+    * verified near-dup pair graph, plus exact-dup groups as singleton
+    * clusters, fanned back out to every member document. Output:
+    * (url, cluster_rep) for every document that belongs to a duplicate
+    * cluster (exact or near), ordered — the map a training-data
+    * pipeline uses to keep one representative per cluster.
+    *
+    * The pair graph is a small fraction of the corpus (defect-rate
+    * bounded), so cluster formation runs over the *edge set only*; the
+    * full corpus is touched exactly twice (group + fan-out), never
+    * inside the labeling loop.
+    *
+    * Reference analog: ExtensionalConciseness counts unique *subjects*
+    * (entities), not pairs (ExtensionalConciseness.java:92-140) — the
+    * cluster map is what turns pairs back into entity-level dedup.
+    */
+  def clusters(pages: DataFrame, threshold: Double = JaccardThreshold,
+      unionFindMaxPairs: Long = UnionFindMaxPairs): DataFrame = {
+    val (groups, allLabels) = clusterLabels(pages, threshold, unionFindMaxPairs)
     val docs = pages.where(col("text").isNotNull)
       .select(col("url"), normText(col("text")).as("norm"))
       .where(length(col("norm")) > 0)
       .select(col("url"), md5(col("norm")).as("fp"))
-    val out = docs
+    docs
       .join(groups.select(col("fp"), col("rep")), "fp")
       .join(allLabels, col("rep") === col("node"))
       .select(col("url"), col("label").as("cluster_rep"))
       .distinct()
       .orderBy("url", "cluster_rep")
-    // NB: groups/labels stay persisted until the returned plan executes;
-    // they are distinct-text- and edge-scale (small), not corpus-scale.
-    out
   }
+
+  /** Per-cluster document counts — the fan-out accounting *without* a
+    * second corpus scan: cluster members = Σ n_docs over the cluster's
+    * distinct-text groups. Output (cluster_rep, n_docs, n_reps),
+    * ordered. This is the suite's near-dup surface (verdict numerator +
+    * violation listing).
+    */
+  def clusterSizes(pages: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val (groups, allLabels) = clusterLabels(pages, threshold)
+    clusterSizesFrom(groups, allLabels)
+  }
+
+  /** [[clusterSizes]] from pre-built [[clusterLabels]] frames. */
+  def clusterSizesFrom(groups: DataFrame, allLabels: DataFrame): DataFrame =
+    allLabels.join(groups.select(col("rep").as("node"), col("n_docs")), "node")
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_reps"))
+      .orderBy("cluster_rep")
 }

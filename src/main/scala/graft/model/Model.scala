@@ -85,6 +85,7 @@ object ViolationKind {
   val MisreportedLanguage = "MisreportedLanguage" // declared lang ≠ derived lang (#31 MisreportedContentType analog)
   val DisjointMembership = "MultiTypedResourceWithDisjointedClasses" // DQMPROB exact name (AdvancedEntitiesAsMembersOfDisjointClasses.java:158)
   val LowQualityText     = "LowQualityText"      // quality score under threshold
+  val MissingProvenance  = "MissingProvenance"   // host lacks a provenance marker (#25/#26 analog)
 }
 
 /** Check identifiers, with the mapping from every reference metric
@@ -137,11 +138,16 @@ object CheckId {
   val DisjointLang     = "disjoint_lang"         // #9 entities typed into declared-disjoint families
   val PayloadFeatures  = "mm_features"           // media-decode seam (byte-histogram profile)
 
+  // Round 3
+  val ProvHostFlags    = "prov_host_flags"       // #25/#26 per-group provenance flags (groupBy(host).agg(max(flag)))
+  val NearDupText      = "near_dup_text"         // #1 near-duplicate corpus fraction (LSH clusters)
+  val EstDeclaredVsDerived = "est_declared_vs_derived" // #32 sampled declared-vs-derived composition
+
   /** Reference metric #n → check ids that re-express it (for the judge's
     * SURVEY §2 line-by-line coverage walk).
     */
   val referenceCoverage: Map[Int, Seq[String]] = Map(
-    1  -> Seq(TextDuplicates, UrlUniqueness),       // ExtensionalConciseness
+    1  -> Seq(TextDuplicates, NearDupText, UrlUniqueness), // ExtensionalConciseness (exact + LSH near-dup)
     2  -> Seq(ApproxDistinct),                      // EstimatedExtensionalConciseness
     3  -> Seq(LangCompleteness, NullStats, LangReferential), // DataCubePopulationCompleteness (gold members + condition op)
     4  -> Seq(UrlConformance, TsConformance),       // CompatibleDatatype
@@ -165,15 +171,15 @@ object CheckId {
     22 -> Seq(TextQuality, NullStats),              // HumanReadableLabelling
     23 -> Seq(ExistsHttpsUrl),                      // PresenceOfURIRegEx (exists-style boolean)
     24 -> Seq(LangDriftPsi),                        // VocabularyUsageIndication
-    25 -> Seq(NullStats),                           // BasicProvenanceMetric
-    26 -> Seq(NullStats),                           // ExtendedProvenanceMetric
+    25 -> Seq(ProvHostFlags, NullStats),            // BasicProvenanceMetric (per-dataset flag agg)
+    26 -> Seq(ProvHostFlags, NullStats),            // ExtendedProvenanceMetric
     27 -> Seq(UrlConformance),                      // Dereferenceability (URL validity shape)
     28 -> Seq(EstUrlConformance, UniformSample),    // EstimatedDereferenceability (check OVER the sample, scaled estimate)
-    29 -> Seq(StratifiedSample),                    // EstimatedDereferenceabilityByTld
+    29 -> Seq(StratifiedSample),                    // EstimatedDereferenceabilityByTld (equal-allocation variant: sample_stratified_equal)
     30 -> Seq(StratifiedSample),                    // EstimatedDereferenceabilityByStratified
     31 -> Seq(DeclaredVsDerivedLang),               // MisreportedContentType
-    32 -> Seq(EstUrlConformance, DeclaredVsDerivedLang), // Estimated… (sampled composition exists as est_conform_url)
-    33 -> Seq(StratifiedSample, DeclaredVsDerivedLang),
+    32 -> Seq(EstDeclaredVsDerived, EstUrlConformance), // Estimated… (derivation check over the sample, scaled)
+    33 -> Seq(StratifiedSample, EstDeclaredVsDerived),
     34 -> Seq(ExistsHtml),                          // RDFAccessibility (exists-filter boolean)
     35 -> Seq(ExistsEnText),                        // SPARQLAccessibility (exists-filter boolean)
     36 -> Seq(HostReferential),                     // LinkExternalDataProviders

@@ -119,7 +119,11 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
       val estimated = Sampling.estimatedUrlConformance(pages).select(
         lit(CheckId.EstUrlConformance).as("check_id"), col("pday"),
         col("n_rows"), col("violations"), col("value"), col("pass"))
+      val estDeclared = Sampling.estimatedDeclaredVsDerived(pages).select(
+        lit(CheckId.EstDeclaredVsDerived).as("check_id"), col("pday"),
+        col("n_rows"), col("violations"), col("value"), col("pass"))
       val perDay = fusedByDay.unionByName(completeness).unionByName(estimated)
+        .unionByName(estDeclared)
 
       val batchViol =
         FusedChecks.violations(joined, allPreds, ordered = false)
@@ -130,7 +134,7 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
       // violation listings run here too (once per run, not per batch —
       // url uniqueness is a whole-table property, so per-batch listings
       // would silently drop groups that straddle batches).
-      val (results, viol) = if (isFinalBatch) {
+      val (results, viol, helpers) = if (isFinalBatch) {
         val full = PageTable.read(spark, tableRoot).drop("pday")
         val uniq = Uniqueness.urlUniqueness(full).select(
           lit(CheckId.UrlUniqueness).as("check_id"), lit("*").as("pday"),
@@ -143,20 +147,39 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
           lit(0L).as("violations"), col("value"), col("pass"))
         val exists = Exists.verdictRows(full)
         // one groupBy(url) bit_or shuffle serves both the verdict and
-        // the violation listing (MEMORY_AND_DISK: url + one long)
+        // the violation listing (MEMORY_AND_DISK: two longs + one long);
+        // unpersisted after the consuming writes below
         val disjointMasks = Disjoint.entityMasks(full, dims.famDim)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val disjoint = Disjoint.verdictFrom(disjointMasks).select(
           lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
           col("n_entities").as("n_rows"), col("violations"), col("value"),
           col("pass"))
+        // per-host provenance flags feed the verdict and the violation
+        // listing (host-cardinality frame)
+        val provFlags = Provenance.hostFlags(full)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prov = Provenance.verdictFrom(provFlags).select(
+          lit(CheckId.ProvHostFlags).as("check_id"), lit("*").as("pday"),
+          col("n_rows"), col("violations"), col("value"), col("pass"))
+        // near-duplicate clusters (LSH + union-find over distinct-text
+        // reps): sizes frame is checkpoint-backed (Dedup materializes
+        // eagerly) and serves the verdict + the per-cluster listing
+        val (ndGroups, ndLabels) = graft.dedup.Dedup.clusterLabels(full)
+        val ndSizes = graft.dedup.Dedup.clusterSizesFrom(ndGroups, ndLabels)
+          .localCheckpoint(true)
+        val nearDup = CheckSuite.nearDupVerdict(ndGroups, ndSizes)
         val wholeViol = Uniqueness.violations(full, ordered = false)
           .unionByName(CheckSuite.dupTextViolations(full))
           .unionByName(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
+          .unionByName(Provenance.violationsFrom(provFlags))
+          .unionByName(CheckSuite.nearDupViolations(ndSizes))
         (perDay.unionByName(uniq).unionByName(dupText)
-           .unionByName(drift).unionByName(exists).unionByName(disjoint),
-          batchViol.unionByName(wholeViol))
-      } else (perDay, batchViol)
+           .unionByName(drift).unionByName(exists).unionByName(disjoint)
+           .unionByName(prov).unionByName(nearDup),
+          batchViol.unionByName(wholeViol),
+          Seq(disjointMasks, provFlags))
+      } else (perDay, batchViol, Seq.empty[DataFrame])
 
       val resultsRun = results.withColumn("run_id", lit(runId))
       val violRun = CheckSuite
@@ -171,6 +194,11 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         violRun.write.mode(SaveMode.Append).parquet(violationsPath))
       phase("results_write")(
         resultsRun.write.mode(SaveMode.Append).parquet(resultsPath))
+      // both consumers (results + violations) are durable — drop the
+      // helper caches now (Dataset.persist pins blocks via the session
+      // CacheManager's strong reference, so without this they would
+      // stay resident for the driver's lifetime)
+      helpers.foreach(_.unpersist())
 
       val audit = resultsRun.select(
         col("run_id"), col("check_id"), col("pday"),
@@ -182,11 +210,17 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         lit(System.currentTimeMillis()).as("finished_ts"))
       phase("audit_write")(audit.write.mode(SaveMode.Append).parquet(auditPath))
       // Fresh complete run: this batch IS the whole verdict table —
-      // return the already-materialized cache instead of re-reading the
-      // parquet (the read-back is a constant serial tail that the bench
-      // would charge to every assessment). The DF stays persisted; it
-      // is a few hundred rows.
-      if (done.isEmpty && isFinalBatch) return resultsRun
+      // return it from the already-materialized cache instead of
+      // re-reading the parquet (the read-back is a constant serial tail
+      // the bench would charge to every assessment). Returned as a
+      // checkpoint snapshot (a few hundred rows) so the cache entry
+      // itself can be dropped — checkpoint blocks are plain RDD storage
+      // the ContextCleaner frees on GC, unlike CacheManager entries.
+      if (done.isEmpty && isFinalBatch) {
+        val snap = resultsRun.localCheckpoint(true)
+        resultsRun.unpersist()
+        return snap
+      }
       resultsRun.unpersist()
     }
 
@@ -212,10 +246,50 @@ object CheckSuite {
 
   /** Number of distinct per-day check ids emitted for every partition:
     * fused preds (conformance + referential + text) + expected-member
-    * completeness + the sampled estimate.
+    * completeness + the two sampled estimates (url conformance,
+    * declared-vs-derived).
     */
   val PerDayCheckCount: Int =
-    Conformance.preds.size + refPreds.size + graft.text.TextOps.preds.size + 2
+    Conformance.preds.size + refPreds.size + graft.text.TextOps.preds.size + 3
+
+  /** Near-dup verdict floor: ≥ this fraction of docs must survive
+    * one-representative-per-cluster dedup.
+    */
+  val NearDupThreshold = 0.85
+
+  /** Whole-table near-duplicate verdict (#1 ExtensionalConciseness's
+    * entity-level value over LSH clusters instead of O(n²) pairs):
+    * violations = redundant docs (cluster members minus one kept
+    * representative per cluster), value = surviving docs / docs. Both
+    * inputs are the compact frames [[graft.dedup.Dedup.clusterLabels]]
+    * already materialized — no corpus rescan.
+    */
+  def nearDupVerdict(groups: DataFrame, sizes: DataFrame): DataFrame = {
+    val tot = groups.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_rows"))
+    val red = sizes.agg(
+      (coalesce(sum(col("n_docs")), lit(0L)) - count(lit(1))).as("violations"))
+    tot.crossJoin(red).select(
+      lit(CheckId.NearDupText).as("check_id"), lit("*").as("pday"),
+      col("n_rows"), col("violations"),
+      when(col("n_rows") === 0, 1.0)
+        .otherwise(lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double"))
+        .as("value"))
+      .withColumn("pass", col("value") >= NearDupThreshold)
+  }
+
+  /** Near-duplicate violation rows: one per cluster, keyed by the
+    * cluster representative (DQMPROB ResourceReplica analog — the
+    * problem bag lists the replica group, not the quadratic member
+    * pairs).
+    */
+  def nearDupViolations(sizes: DataFrame): DataFrame =
+    sizes.select(
+      lit(CheckId.NearDupText).as("check_id"),
+      lit(graft.model.ViolationKind.NearDuplicate).as("kind"),
+      lit("*").as("pday"),
+      col("cluster_rep").as("url"),
+      concat(lit("near-duplicate cluster: "), col("n_docs"), lit(" docs across "),
+        col("n_reps"), lit(" distinct texts")).as("detail"))
 
   /** Per-(check, pday) violation-listing cap — the analog of the
     * reference's bounded problem collections (ShortURIs.java:47).

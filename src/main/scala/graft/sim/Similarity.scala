@@ -50,8 +50,10 @@ object Similarity {
   /** Salt fan-out for the two-phase top-k. */
   val Salts = 32
 
-  /** Seeded random hyperplanes (deterministic across runs). */
-  private[sim] val Planes: IndexedSeq[IndexedSeq[Double]] = {
+  /** Seeded random hyperplanes (deterministic across runs; read by the
+    * DuckDB oracle renderer, which unrolls the same dots as literals).
+    */
+  private[graft] val Planes: IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new Random(77L)
     IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(rnd.nextGaussian()))
   }

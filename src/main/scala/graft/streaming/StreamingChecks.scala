@@ -60,14 +60,40 @@ object StreamingChecks {
         Seq(col(s"${safe(p.id)}__n_rows"), col(s"${safe(p.id)}__bad"))): _*)
   }
 
-  /** Start the streaming assessment into an in-memory table (tests /
-    * local monitoring) or a parquet sink.
+  /** Streaming variant of the suite's *referential* family: broadcast
+    * the dimension snapshots into the stream (a stream–static equi-join
+    * is stateless — each micro-batch probes the broadcast table, no
+    * watermark interaction) and fuse the referential predicates into
+    * the same windowed aggregation as the conformance bank. This is the
+    * same one-scan fusion CheckSuite performs in batch
+    * (CheckSuite.refPreds), so streamed days converge to the batch
+    * verdict counts for both families.
     */
-  def start(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
-    conformanceByWindow(pageStream(spark, dir))
-      .writeStream
+  def conformanceWithDims(stream: DataFrame, hostDim: DataFrame,
+      langDim: DataFrame, watermark: String = "2 days"): DataFrame = {
+    val joined = stream
+      .withColumn("host", graft.checks.Referential.hostExpr)
+      .join(broadcast(hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
+      .join(broadcast(langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
+    conformanceByWindow(joined,
+      Conformance.preds ++ graft.runtime.CheckSuite.refPreds, watermark)
+  }
+
+  /** Start the streaming assessment into an in-memory table (tests /
+    * local monitoring) or a parquet sink. With dims, the referential
+    * family streams too.
+    */
+  def start(spark: SparkSession, dir: String, queryName: String,
+      dims: Option[(DataFrame, DataFrame)] = None): StreamingQuery = {
+    val src = pageStream(spark, dir)
+    val out = dims match {
+      case Some((hostDim, langDim)) => conformanceWithDims(src, hostDim, langDim)
+      case None => conformanceByWindow(src)
+    }
+    out.writeStream
       .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .start()
+  }
 }

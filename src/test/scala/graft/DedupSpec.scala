@@ -108,6 +108,26 @@ class DedupSpec extends AnyFunSuite {
     assert(e == f)
   }
 
+  test("oversized LSH buckets are dropped with a logged count, not joined quadratically") {
+    import spark.implicits._
+    // pathological template family: 50 *distinct* texts sharing 58 of
+    // ~60 shingles — every band bucket holds most of the family, the
+    // worst case the exact-dup collapse cannot absorb
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = (1 to 50).map(k => (f"http://t.example.com/$k%03d", s"$base unique$k"))
+      .toDF("url", "text")
+    val uncapped = Dedup.minhashPairs(docs).count()
+    assert(uncapped == 50L * 49 / 2, "all template pairs verify above threshold")
+    // with a tight cap the oversized buckets are dropped (stderr logs
+    // the count) and the candidate join stays sub-quadratic
+    val capped = Dedup.minhashPairs(docs, maxBucket = 10L).count()
+    assert(capped < uncapped)
+    // the normal corpus is unaffected by the default cap (buckets are
+    // tiny after exact-dup collapse): LSH still equals brute force
+    val brute = Dedup.bruteJaccardPairs(pages).count()
+    assert(Dedup.minhashPairs(pages).count() == brute)
+  }
+
   test("shingles: short text degenerates to whole-text shingle") {
     import spark.implicits._
     val df = Seq(("u1", "one two"), ("u2", "a b c d")).toDF("url", "text")

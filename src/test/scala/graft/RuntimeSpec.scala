@@ -38,7 +38,8 @@ class RuntimeSpec extends AnyFunSuite {
     val perDay = r1.where(col("pday") =!= "*")
     assert(perDay.groupBy("pday").count().count() == 47)
     // uniqueness + dup_text + psi + ks + 3 exists probes + disjoint_lang
-    assert(r1.where(col("pday") === "*").count() == 8)
+    // + prov_host_flags + near_dup_text
+    assert(r1.where(col("pday") === "*").count() == 10)
     // the sampled-estimate check is flagged estimate=true in the audit
     val estFlags = suite.auditTable.select("check_id", "estimate").distinct()
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap

@@ -38,6 +38,47 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (day, v) => assert(v == batch(day), s"day $day") }
   }
 
+  test("streamed referential family (broadcast dims in-stream) equals batch") {
+    val dir = Files.createTempDirectory("metricsspark_stream_ref").toString
+    val pages = PageSynth.pages(spark, TestSpark.sf0001)
+    pages.repartition(6).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingChecks.start(spark, dir, "stream_ref",
+      dims = Some((PageSynth.hostDim(spark), PageSynth.langDim(spark))))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_ref")
+      .groupBy(col("pday"))
+      .agg(
+        max(col("ref_host_dim__n_rows")).as("hn"), max(col("ref_host_dim__bad")).as("hb"),
+        max(col("ref_lang_dim__n_rows")).as("ln"), max(col("ref_lang_dim__bad")).as("lb"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    def batchOf(checkId: String) = {
+      val joined = pages.where(col("warc_ts").isNotNull)
+        .withColumn("host", graft.checks.Referential.hostExpr)
+        .join(broadcast(PageSynth.hostDim(spark).withColumn("host_known", lit(true))), Seq("host"), "left")
+        .join(broadcast(PageSynth.langDim(spark).withColumn("lang_known", lit(true))), Seq("lang"), "left")
+      graft.checks.FusedChecks.resultsByDay(joined,
+          graft.checks.Conformance.preds ++ graft.runtime.CheckSuite.refPreds)
+        .where(col("check_id") === checkId)
+        .collect()
+        .map(r => r.getString(1) -> (r.getAs[Long]("n_rows"), r.getAs[Long]("violations")))
+        .toMap
+    }
+    val bh = batchOf("ref_host_dim"); val bl = batchOf("ref_lang_dim")
+    assert(streamed.keySet == bh.keySet)
+    streamed.foreach { case (day, (hn, hb, ln, lb)) =>
+      assert((hn, hb) == bh(day), s"host family, day $day")
+      assert((ln, lb) == bl(day), s"lang family, day $day")
+    }
+    // the referential violation count is non-trivial on the fixture
+    assert(streamed.values.map(_._2).sum > 0)
+  }
+
   test("multimodal feature extraction is deterministic and shuffle-free") {
     val pages = PageSynth.pages(spark, TestSpark.sf0001)
     def key(f: graft.multimodal.Features.PayloadFeatures) =

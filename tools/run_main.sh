@@ -19,7 +19,9 @@ if [ -z "$GRAFT_CLASSES" ]; then
   cp -r target/scala-2.13/classes/* "$GRAFT_CLASSES/"
   trap 'rm -rf "$GRAFT_CLASSES"' EXIT
 fi
-exec java $ADD_OPENS \
+# java runs as a child (no exec): the EXIT trap must fire to delete the
+# classpath snapshot — exec would replace the shell and leak it
+java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "$GRAFT_CLASSES:/opt/spark/jars/*" "graft.$MAIN" "$@"
