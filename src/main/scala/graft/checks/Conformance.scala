@@ -116,19 +116,32 @@ object FusedChecks {
       .withColumn("__bm", bm)
   }
 
-  /** Per-pday CheckResult rows from a [[maskFrame]]. */
-  def resultsFromMasks(masks: DataFrame, preds: Seq[Pred]): DataFrame = {
-    // '.' in a check id would read as struct-field access in col()
-    def safe(id: String): String = id.replace('.', '_')
-    val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
+  // '.' in a check id would read as struct-field access in col()
+  private def safe(id: String): String = id.replace('.', '_')
+
+  /** The per-pred bitmask aggregate columns of the fused scan. */
+  def predAggs(preds: Seq[Pred]): Seq[Column] =
+    preds.zipWithIndex.flatMap { case (p, i) =>
       Seq(
         sum(shiftright(col("__am"), i).bitwiseAND(lit(1L))).as(s"${safe(p.id)}__n_rows"),
         sum(shiftright(col("__bm"), i).bitwiseAND(lit(1L))).as(s"${safe(p.id)}__bad"))
     }
-    val wide = masks
-      .groupBy(col("pday"))
-      .agg(aggs.head, aggs.tail: _*)
-    // wide → long: one struct per check, exploded
+
+  /** One wide per-pday aggregate over a [[maskFrame]]: the bitmask sums
+    * plus caller-supplied extra aggregates — this is how the suite
+    * rides its sampled-estimate counters on the SAME scan instead of
+    * re-reading the table once per estimate family.
+    */
+  def wideByDay(masks: DataFrame, preds: Seq[Pred],
+      extras: Seq[Column] = Nil): DataFrame = {
+    val aggs = predAggs(preds) ++ extras
+    masks.groupBy(col("pday")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-pday CheckResult rows from a [[wideByDay]] frame (wide → long:
+    * one struct per check, exploded).
+    */
+  def resultsFromWide(wide: DataFrame, preds: Seq[Pred]): DataFrame = {
     val perCheck = preds.map { p =>
       struct(
         lit(p.id).as("check_id"),
@@ -147,6 +160,10 @@ object FusedChecks {
       .drop("threshold")
       .orderBy("check_id", "pday")
   }
+
+  /** Per-pday CheckResult rows from a [[maskFrame]]. */
+  def resultsFromMasks(masks: DataFrame, preds: Seq[Pred]): DataFrame =
+    resultsFromWide(wideByDay(masks, preds), preds)
 
   /** All predicate checks in ONE scan: per-pday CheckResult rows.
     * Output schema: (check_id, pday, rows, violations, value, pass),

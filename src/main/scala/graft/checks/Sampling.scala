@@ -127,6 +127,51 @@ object Sampling {
       .orderBy("pday")
   }
 
+  // ——— suite integration: the estimate counters as extra aggregate
+  // columns riding the suite's ONE per-pday scan (FusedChecks.wideByDay)
+  // instead of a separate table pass per estimate family. Row builders
+  // reuse the exact double-op order of the standalone queries, so the
+  // suite verdicts stay value-identical to the oracles. ———
+
+  /** Aggregates for [[estimatedUrlConformance]] over the fused scan. */
+  def estUrlAggs(threshold256: Int = 51): Seq[org.apache.spark.sql.Column] = {
+    val p = graft.checks.Conformance.byId("conform_url")
+    val inS = expr(U256Sql) < threshold256
+    Seq(
+      sum(when(p.applicable, 1L).otherwise(0L)).as("estu_n"),
+      sum(when(p.applicable && inS, 1L).otherwise(0L)).as("estu_s"),
+      sum(when(p.applicable && inS && p.bad, 1L).otherwise(0L)).as("estu_b"))
+  }
+
+  /** Aggregates for [[estimatedDeclaredVsDerived]] over the fused scan —
+    * requires the `detected_lang` column (TextOps.withDerived), which
+    * the suite's joined frame already carries.
+    */
+  def estDeclaredAggs(threshold256: Int = 51): Seq[org.apache.spark.sql.Column] = {
+    val inS = expr(U256Sql) < threshold256
+    val appl = col("text").isNotNull && length(col("text")) > 0 && col("lang").isNotNull
+    val confident = appl && inS && col("detected_lang") =!= "und"
+    Seq(
+      sum(when(appl, 1L).otherwise(0L)).as("estd_n"),
+      sum(when(confident, 1L).otherwise(0L)).as("estd_s"),
+      sum(when(confident && col("detected_lang") =!= col("lang"), 1L).otherwise(0L)).as("estd_b"))
+  }
+
+  /** Estimate verdict rows from the wide frame's (n, sampled, bad)
+    * counters; identical arithmetic to the standalone queries.
+    */
+  def estRowsFromWide(wide: DataFrame, checkId: String, nCol: String,
+      sCol: String, bCol: String, threshold: Double): DataFrame =
+    wide.select(
+      lit(checkId).as("check_id"), col("pday"),
+      col(nCol).as("n_rows"),
+      when(col(sCol) === 0, 0L).otherwise(
+        round(col(bCol).cast("double") * col(nCol).cast("double")
+          / col(sCol).cast("double"), 0).cast("long")).as("violations"),
+      when(col(sCol) === 0, 1.0).otherwise(
+        lit(1.0) - col(bCol).cast("double") / col(sCol).cast("double")).as("value"))
+      .withColumn("pass", col("value") >= threshold)
+
   private def withHost(pages: DataFrame): DataFrame =
     pages.withColumn("host", Referential.hostExpr).where(col("host") =!= "")
 

@@ -98,11 +98,15 @@ object Uniqueness {
   val MaxBroadcastDupHashes = 5000000L
 
   def violations(pages: DataFrame, ordered: Boolean = true): DataFrame = {
+    // checkpoint, not persist: the frame is consumed lazily by the
+    // returned listing, and a persist here would pin its blocks in the
+    // session CacheManager forever (strong refs — the ContextCleaner
+    // only reclaims plain RDD/checkpoint blocks on GC)
     val dupHashes = pages.select(xxhash64(col("url")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("hn"))
       .where(col("hn") > 1)
       .select(col("h"))
-      .persist()
+      .localCheckpoint(true)
     val dupSide =
       if (dupHashes.count() <= MaxBroadcastDupHashes) broadcast(dupHashes) else dupHashes
     val groups = pages

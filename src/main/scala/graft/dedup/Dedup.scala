@@ -202,6 +202,15 @@ object Dedup {
     * are unpersisted (see the class doc on CacheManager leaks).
     */
   def minhashPairs(pages: DataFrame, threshold: Double = JaccardThreshold,
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    minhashPairsFromGroups(corpusGroups(pages), threshold, maxBucket)
+
+  /** [[minhashPairs]] over a pre-built [[corpusGroups]] frame — callers
+    * that already hold the distinct-text groups (the suite's near-dup
+    * check, [[clusterLabels]]) pass them in so the corpus-scale
+    * group-collapse scan runs once, not once per consumer.
+    */
+  def minhashPairsFromGroups(groups: DataFrame, threshold: Double = JaccardThreshold,
       maxBucket: Long = MaxBucketSize): DataFrame = {
     // `sh` feeds four consumers (both sides of the band self-join and
     // both verification sides). Self-join sides get fresh attribute ids
@@ -211,7 +220,7 @@ object Dedup {
     // cache the two compact intermediates explicitly (Spark ML's LSH
     // does the same): `sh` is distinct-text scale (rep + ~200 ints),
     // `bands` is keys-only; MEMORY_AND_DISK spills rather than OOMs.
-    val sh = corpusGroups(pages)
+    val sh = groups
       .select(col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band join: keys only, no arrays
@@ -334,8 +343,11 @@ object Dedup {
       threshold: Double = JaccardThreshold,
       unionFindMaxPairs: Long = UnionFindMaxPairs): (DataFrame, DataFrame) = {
     val spark = pages.sparkSession
+    // ONE corpus-scale collapse scan: the checkpointed groups feed the
+    // LSH pipeline, the singleton-cluster union, and the callers'
+    // size/total aggregates
     val groups = corpusGroups(pages).localCheckpoint(true)
-    val pairs = minhashPairs(pages, threshold) // eager (checkpointed)
+    val pairs = minhashPairsFromGroups(groups, threshold) // eager (checkpointed)
       .select(col("url_a"), col("url_b"))
     val nPairs = pairs.count()
 

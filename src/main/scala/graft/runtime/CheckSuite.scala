@@ -110,18 +110,24 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
       // pass builds detail strings only for rows whose violation mask is
       // non-zero — the round-2 profile measured ~12 heavy re-evaluations
       // per row on the naive fused spelling, and 20-100× overhead for
-      // per-pred flag/detail columns or a columnar cache of them
-      val fusedByDay = FusedChecks.resultsByDay(joined, allPreds)
+      // per-pred flag/detail columns or a columnar cache of them.
+      // Both sampled-estimate families ride the same aggregate as extra
+      // counter columns — one table pass for the whole per-day family,
+      // not one per estimate. The 47-row wide frame is lazily
+      // checkpointed: materialized once (by the concurrent phase below,
+      // or the results write), then every consumer reads the blocks.
+      val wide = FusedChecks.wideByDay(FusedChecks.maskFrame(joined, allPreds), allPreds,
+          Sampling.estUrlAggs() ++ Sampling.estDeclaredAggs())
+        .localCheckpoint(false)
+      val fusedByDay = FusedChecks.resultsFromWide(wide, allPreds)
 
-      // two more per-day checks, each a tiny column-pruned aggregation:
-      // dim→fact expected-member completeness and the sampled estimate
+      // expected-member completeness stays its own tiny column-pruned
+      // aggregation (different grouping); the estimates come from `wide`
       val completeness = Completeness.verdictRows(pages, dims.langDim)
-      val estimated = Sampling.estimatedUrlConformance(pages).select(
-        lit(CheckId.EstUrlConformance).as("check_id"), col("pday"),
-        col("n_rows"), col("violations"), col("value"), col("pass"))
-      val estDeclared = Sampling.estimatedDeclaredVsDerived(pages).select(
-        lit(CheckId.EstDeclaredVsDerived).as("check_id"), col("pday"),
-        col("n_rows"), col("violations"), col("value"), col("pass"))
+      val estimated = Sampling.estRowsFromWide(wide, CheckId.EstUrlConformance,
+        "estu_n", "estu_s", "estu_b", Conformance.byId("conform_url").threshold)
+      val estDeclared = Sampling.estRowsFromWide(wide, CheckId.EstDeclaredVsDerived,
+        "estd_n", "estd_s", "estd_b", 0.5)
       val perDay = fusedByDay.unionByName(completeness).unionByName(estimated)
         .unionByName(estDeclared)
 
@@ -134,42 +140,77 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
       // violation listings run here too (once per run, not per batch —
       // url uniqueness is a whole-table property, so per-batch listings
       // would silently drop groups that straddle batches).
-      val (results, viol, helpers) = if (isFinalBatch) {
+      // Whole-table checks are INDEPENDENT jobs — they run concurrently
+      // (Spark schedules jobs submitted from multiple threads into the
+      // same pool of task slots). Serially, each job's stage tails and
+      // driver gaps idle most cores, and that idle time is exactly what
+      // the N→4N scaling efficiency pays for: the more cores, the larger
+      // the share of wall-clock the serial chain wastes. Total work is
+      // unchanged, so the saturated low-core level is unaffected.
+      // the per-day (batch) violation listing is independent of every
+      // whole-table job — in the final batch its write joins the
+      // concurrent phase instead of serializing after it. Capping the
+      // batch and whole-table listings separately is exact: their
+      // (check_id, pday) key spaces are disjoint (per-day ids never
+      // carry pday='*').
+      val violBatchRun = CheckSuite
+        .capViolations(batchViol, CheckSuite.MaxViolationRows)
+        .withColumn("run_id", lit(runId))
+
+      val (results, wholeViolOpt, helpers) = if (isFinalBatch) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = CheckSuite.SuiteEc
         val full = PageTable.read(spark, tableRoot).drop("pday")
+        // one groupBy(url-hash-pair) bit_or shuffle serves both the
+        // disjoint verdict and its violation listing; the per-host flag
+        // frame serves the provenance verdict + listing. Both are
+        // persisted (unpersisted after the consuming writes below) and
+        // force-materialized in the concurrent phase.
+        val disjointMasks = Disjoint.entityMasks(full, dims.famDim)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val provFlags = Provenance.hostFlags(full)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fWide = Future(phase("perday_scan") { wide.count(); () })
+        val fDrift = Future(phase("drift_collect")(Drift.combined(full)))
+        val fExists = Future(phase("exists_probes")(Exists.verdictRows(full)))
+        val fNd = Future(phase("neardup_pipeline") {
+          val (g, l) = graft.dedup.Dedup.clusterLabels(full)
+          (g, graft.dedup.Dedup.clusterSizesFrom(g, l).localCheckpoint(true))
+        })
+        val fMasks = Future(phase("disjoint_masks") { disjointMasks.count(); () })
+        val fProv = Future(phase("prov_flags") { provFlags.count(); () })
+        // Uniqueness.violations runs its duplicate-hash scan (broadcast
+        // decision) eagerly — in here so it overlaps the other jobs
+        val fUniqViol = Future(phase("uniq_dup_hashes")(
+          Uniqueness.violations(full, ordered = false)))
+        val fBatchViol = Future(phase("batchviol_write")(
+          violBatchRun.write.mode(SaveMode.Append).parquet(violationsPath)))
         val uniq = Uniqueness.urlUniqueness(full).select(
           lit(CheckId.UrlUniqueness).as("check_id"), lit("*").as("pday"),
           col("n_rows"), col("dup_rows").as("violations"), col("value"),
           (col("value") >= 0.99).as("pass"))
         val dupText = CheckSuite.dupTextVerdict(full)
-        val drift = Drift.combined(full).select(
+        val drift = Await.result(fDrift, Duration.Inf).select(
           col("check_id"), lit("*").as("pday"),
           (col("base_rows") + col("cur_rows")).as("n_rows"),
           lit(0L).as("violations"), col("value"), col("pass"))
-        val exists = Exists.verdictRows(full)
-        // one groupBy(url) bit_or shuffle serves both the verdict and
-        // the violation listing (MEMORY_AND_DISK: two longs + one long);
-        // unpersisted after the consuming writes below
-        val disjointMasks = Disjoint.entityMasks(full, dims.famDim)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exists = Await.result(fExists, Duration.Inf)
         val disjoint = Disjoint.verdictFrom(disjointMasks).select(
           lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
           col("n_entities").as("n_rows"), col("violations"), col("value"),
           col("pass"))
-        // per-host provenance flags feed the verdict and the violation
-        // listing (host-cardinality frame)
-        val provFlags = Provenance.hostFlags(full)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val prov = Provenance.verdictFrom(provFlags).select(
           lit(CheckId.ProvHostFlags).as("check_id"), lit("*").as("pday"),
           col("n_rows"), col("violations"), col("value"), col("pass"))
-        // near-duplicate clusters (LSH + union-find over distinct-text
-        // reps): sizes frame is checkpoint-backed (Dedup materializes
-        // eagerly) and serves the verdict + the per-cluster listing
-        val (ndGroups, ndLabels) = graft.dedup.Dedup.clusterLabels(full)
-        val ndSizes = graft.dedup.Dedup.clusterSizesFrom(ndGroups, ndLabels)
-          .localCheckpoint(true)
+        val (ndGroups, ndSizes) = Await.result(fNd, Duration.Inf)
         val nearDup = CheckSuite.nearDupVerdict(ndGroups, ndSizes)
-        val wholeViol = Uniqueness.violations(full, ordered = false)
+        val uniqViolRows = Await.result(fUniqViol, Duration.Inf)
+        Await.result(fWide, Duration.Inf)
+        Await.result(fMasks, Duration.Inf)
+        Await.result(fProv, Duration.Inf)
+        Await.result(fBatchViol, Duration.Inf)
+        val wholeViol = uniqViolRows
           .unionByName(CheckSuite.dupTextViolations(full))
           .unionByName(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
           .unionByName(Provenance.violationsFrom(provFlags))
@@ -177,30 +218,45 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         (perDay.unionByName(uniq).unionByName(dupText)
            .unionByName(drift).unionByName(exists).unionByName(disjoint)
            .unionByName(prov).unionByName(nearDup),
-          batchViol.unionByName(wholeViol),
+          Some(wholeViol),
           Seq(disjointMasks, provFlags))
-      } else (perDay, batchViol, Seq.empty[DataFrame])
+      } else {
+        phase("violations_write")(
+          violBatchRun.write.mode(SaveMode.Append).parquet(violationsPath))
+        (perDay, None, Seq.empty[DataFrame])
+      }
 
       val resultsRun = results.withColumn("run_id", lit(runId))
-      val violRun = CheckSuite
-        .capViolations(viol, CheckSuite.MaxViolationRows)
-        .withColumn("run_id", lit(runId))
 
-      // durability order: violations → results → audit (audit marks done).
-      // The verdict table is tiny — cache it so the audit write reuses
-      // the materialized rows instead of re-executing the whole scan DAG.
-      resultsRun.persist()
-      phase("violations_write")(
-        violRun.write.mode(SaveMode.Append).parquet(violationsPath))
-      phase("results_write")(
-        resultsRun.write.mode(SaveMode.Append).parquet(resultsPath))
-      // both consumers (results + violations) are durable — drop the
-      // helper caches now (Dataset.persist pins blocks via the session
-      // CacheManager's strong reference, so without this they would
-      // stay resident for the driver's lifetime)
+      // durability order: violations → results → audit (audit marks
+      // done). The verdict computation runs CONCURRENTLY with the
+      // whole-table violations write — only the parquet write order is
+      // load-bearing for resume correctness, not the compute order. The
+      // snapshot is a few hundred rows; checkpoint blocks (unlike
+      // CacheManager entries) are freed by the ContextCleaner once
+      // unreferenced.
+      val fResults = {
+        import scala.concurrent.Future
+        implicit val ec: scala.concurrent.ExecutionContext = CheckSuite.SuiteEc
+        Future(phase("results_compute")(resultsRun.localCheckpoint(true)))
+      }
+      wholeViolOpt.foreach { wv =>
+        val wvRun = CheckSuite.capViolations(wv, CheckSuite.MaxViolationRows)
+          .withColumn("run_id", lit(runId))
+        phase("wholeviol_write")(
+          wvRun.write.mode(SaveMode.Append).parquet(violationsPath))
+      }
+      val resultsSnap =
+        scala.concurrent.Await.result(fResults, scala.concurrent.duration.Duration.Inf)
+      // both consumers (results + violations) are materialized — drop
+      // the helper caches now (Dataset.persist pins blocks via the
+      // session CacheManager's strong reference, so without this they
+      // would stay resident for the driver's lifetime)
       helpers.foreach(_.unpersist())
+      phase("results_write")(
+        resultsSnap.write.mode(SaveMode.Append).parquet(resultsPath))
 
-      val audit = resultsRun.select(
+      val audit = resultsSnap.select(
         col("run_id"), col("check_id"), col("pday"),
         col("n_rows").as("rows_assessed"), col("violations"),
         col("value"), col("pass"),
@@ -210,18 +266,10 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         lit(System.currentTimeMillis()).as("finished_ts"))
       phase("audit_write")(audit.write.mode(SaveMode.Append).parquet(auditPath))
       // Fresh complete run: this batch IS the whole verdict table —
-      // return it from the already-materialized cache instead of
-      // re-reading the parquet (the read-back is a constant serial tail
-      // the bench would charge to every assessment). Returned as a
-      // checkpoint snapshot (a few hundred rows) so the cache entry
-      // itself can be dropped — checkpoint blocks are plain RDD storage
-      // the ContextCleaner frees on GC, unlike CacheManager entries.
-      if (done.isEmpty && isFinalBatch) {
-        val snap = resultsRun.localCheckpoint(true)
-        resultsRun.unpersist()
-        return snap
-      }
-      resultsRun.unpersist()
+      // return the materialized snapshot instead of re-reading the
+      // parquet (the read-back is a constant serial tail the bench
+      // would charge to every assessment).
+      if (done.isEmpty && isFinalBatch) return resultsSnap
     }
 
     // a crash between results-write and audit-write can leave duplicate
@@ -232,6 +280,18 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
 }
 
 object CheckSuite {
+  /** Daemon pool for concurrent whole-table check jobs (Spark job
+    * submission is thread-safe; jobs from different threads share the
+    * task-slot pool).
+    */
+  private[runtime] lazy val SuiteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "suite-parallel")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Referential checks expressed as fused predicates over the
     * dim-joined frame (host_known/lang_known null ⇔ missing from the
     * snapshot) — this is what lets the whole per-day family run in one
