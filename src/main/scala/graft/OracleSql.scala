@@ -677,6 +677,22 @@ object OracleSql {
        |  (1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.99 AS pass
        |FROM ent""".stripMargin
 
+  /** Mirrors Disjoint.estimatedVerdict: the disjoint check over the
+    * entity-keyed (md5(url)) uniform sample.
+    */
+  val estDisjointLang: String =
+    s"""$cte, fams AS (${graft.checks.Disjoint.famDimDuck}), ent AS (
+       | SELECT p.url,
+       |   bool_or(f.family = 'latin') AS latin, bool_or(f.family = 'cjk') AS cjk
+       | FROM pages p JOIN fams f ON p.lang = f.lang
+       | WHERE $u256 < 51
+       | GROUP BY p.url)
+       |SELECT CAST(count(*) AS BIGINT) AS n_entities,
+       |  CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |  1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+       |  (1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.99 AS pass
+       |FROM ent""".stripMargin
+
   val disjointLangEntities: String =
     s"""$cte, $disjointEnt
        |SELECT url, array_to_string(fam_list, ',') AS families,
@@ -910,6 +926,7 @@ object OracleSql {
     "est_conform_url" -> estConformUrl,
     "multi_lang_usage" -> multiLangUsage,
     "disjoint_lang" -> disjointLang,
-    "disjoint_lang_entities" -> disjointLangEntities
+    "disjoint_lang_entities" -> disjointLangEntities,
+    "est_disjoint_lang" -> estDisjointLang
   )
 }

@@ -76,11 +76,12 @@ object ScalingBench {
     case "measure" :: cpus :: Nil =>
       val s = session(cpus.toInt)
       val docs = PageTable.read(s, root).count()
+      var verdictRows = 0L
       def once(): Double = {
         // identical starting state per run: assessment outputs cleared
         Seq("audit", "results", "violations").foreach(d => rmrf(Paths.get(root, d)))
         val t0 = System.nanoTime()
-        SuiteRunner.assess(s, root, s"scal_${cpus}_${System.nanoTime()}").count()
+        verdictRows = SuiteRunner.assess(s, root, s"scal_${cpus}_${System.nanoTime()}").count()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up (codegen + JIT)
@@ -90,8 +91,8 @@ object ScalingBench {
       val best = Seq.fill(runs)(once()).min
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get(s"BENCH/level_$cpus.json"),
-        s"""{"cpus":$cpus,"secs":$best,"docs":$docs}""")
-      println(f"[scaling] local[$cpus]: $best%.2f s, ${docs / best}%.0f docs/sec")
+        s"""{"cpus":$cpus,"secs":$best,"docs":$docs,"verdict_rows":$verdictRows}""")
+      println(f"[scaling] local[$cpus]: $best%.2f s, ${docs / best}%.0f docs/sec, $verdictRows verdict rows")
       s.stop()
 
     case "report" :: n :: n4 :: Nil =>
@@ -99,6 +100,10 @@ object ScalingBench {
         val t = Files.readString(Paths.get(s"BENCH/level_$c.json"))
         def f(k: String) = s""""$k":([0-9.E-]+)""".r.findFirstMatchIn(t).get.group(1).toDouble
         (f("secs"), f("docs"))
+      }
+      def verdictRowsOf(c: String): Option[Long] = {
+        val t = Files.readString(Paths.get(s"BENCH/level_$c.json"))
+        """"verdict_rows":([0-9]+)""".r.findFirstMatchIn(t).map(_.group(1).toLong)
       }
       val (tN, docs) = read(n); val (t4N, _) = read(n4)
       val eff = (tN / t4N) / (n4.toDouble / n.toDouble)
@@ -116,21 +121,57 @@ object ScalingBench {
         f"\n**Machine ceiling at the same levels** (pure-CPU spin, zero shared state — " +
         f"tools/spin_calibrate.py): **$c%.3f**. Engine efficiency relative to what the " +
         f"host actually backs: **${eff / c}%.3f**.\n").getOrElse("")
+      // secondary pair (transparency): 8→32 where the host itself stops
+      // backing its vCPUs (SMT beyond 16 physical cores)
+      val secondary = {
+        val p8 = Paths.get("BENCH/level_8.json"); val p32 = Paths.get("BENCH/level_32.json")
+        if (n == "4" && n4 == "16" && Files.exists(p8) && Files.exists(p32)) {
+          val (t8, _) = read("8"); val (t32, _) = read("32")
+          val eff2 = (t8 / t32) / 4.0
+          val c2 = {
+            val p = Paths.get("BENCH/spin_ceiling.json")
+            if (Files.exists(p))
+              """"ceiling_8_to_32":\s*([0-9.]+)""".r
+                .findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
+            else None
+          }
+          f"\n**Secondary pair 8→32** (transparency): T_8 = $t8%.2f s, T_32 = $t32%.2f s → " +
+            f"efficiency **$eff2%.3f**" +
+            c2.map(c => f" against a machine ceiling of **$c%.3f** at the same levels " +
+              f"(the host only partially backs vCPUs 17–32: SMT, not engine serialization" +
+              f"; relative: **${eff2 / c}%.3f**)").getOrElse("") + ".\n"
+        } else ""
+      }
+      val scopeLine = verdictRowsOf(n4).orElse(verdictRowsOf(n)).map(v =>
+        s"""|- suite scope: $v verdict rows per assessment (16 per-day checks ×
+            |  47 partitions + 10 whole-table checks incl. LSH near-dup
+            |  clustering and per-host provenance flags) — "validated docs/sec"
+            |  is docs ÷ wall-clock at THIS scope; round 2's smaller suite
+            |  (713 rows, no near-dup/provenance) is not directly comparable
+            |""".stripMargin).getOrElse("")
       val md =
         s"""# BENCH — metricsspark scaling evidence
            |
            |End-to-end constraint-suite assessment (`CheckSuite.run`: fused
-           |conformance/completeness family + host/lang referential + url
-           |uniqueness + KS/PSI drift + violation & audit writes) over the
-           |same Iceberg-shaped partitioned table, identical input at two
-           |parallelism levels — the sandbox stand-in for N vs 4N executors.
-           |
+           |conformance/completeness/estimate family + host/lang referential +
+           |url uniqueness + exact/near-duplicate text (MinHash LSH +
+           |union-find clusters) + disjoint-class membership + per-host
+           |provenance flags + KS/PSI drift + exists probes + violation &
+           |audit writes) over the same Iceberg-shaped partitioned table,
+           |identical input at two parallelism levels — the sandbox stand-in
+           |for N vs 4N executors. Independent whole-table checks run as
+           |concurrent Spark jobs; the verdict snapshot computes concurrently
+           |with the violation writes (write order viol→results→audit is
+           |preserved for resume).
+           |$scopeLine
            |- corpus: ${docs.toLong} docs (deterministic replication of $sfDir), 47 day-partitions
            |- method: fresh JVM per level, pinned to its cpu budget with taskset
            |  (local[N] alone caps only task slots — GC/shuffle/writer threads
            |  would otherwise borrow the idle cores and inflate the small level);
            |  table + shuffle dirs on tmpfs (the VM disk adds 3x writeback
-           |  variance); 1 warm-up + 3 timed full assessments, min-of-3;
+           |  variance); 1 warm-up + SPARK_GRAFT_RUNS timed full assessments,
+           |  best-of (min); all levels measured in one sweep on one code
+           |  version (single classpath snapshot);
            |  assessment outputs cleared before each run (identical starting state)
            |
            || level | wall-clock (s) | validated docs/sec |
@@ -140,7 +181,7 @@ object ScalingBench {
            |
            |**Scaling efficiency (N→4N)** = (T_$n / T_$n4) / 4 = **${"%.3f".format(eff)}**
            |(north-rule target ≥ 0.8)
-           |$ceilingLine
+           |$ceilingLine$secondary
            |Audit: every (check, partition) assessed exactly once per run —
            |verified by RuntimeSpec "interrupted run resumes" and the audit
            |table row counts.

@@ -60,6 +60,10 @@ object SparkEntry {
       Disjoint.verdict(pages(s, dir), Disjoint.famDim(s))),
     "disjoint_lang_entities" -> ((s, dir) =>
       Disjoint.violatingEntities(pages(s, dir), Disjoint.famDim(s))),
+    // sampled disjoint composition (#10: check over the entity-keyed
+    // uniform sample)
+    "est_disjoint_lang" -> ((s, dir) =>
+      Disjoint.estimatedVerdict(pages(s, dir), Disjoint.famDim(s))),
     // referential vs dimension snapshots
     "ref_host_day" -> ((s, dir) =>
       Referential.hostCheckByDay(pages(s, dir), PageSynth.hostDim(s))),

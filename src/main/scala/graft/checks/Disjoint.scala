@@ -118,6 +118,22 @@ object Disjoint {
   def verdict(pages: DataFrame, dim: DataFrame, threshold: Double = 0.99): DataFrame =
     verdictFrom(entityMasks(pages, dim), threshold)
 
+  /** Sampled composition (#10 EstimateSimpleEntities…: the disjoint
+    * check over the deterministic uniform sample). The sample key is
+    * md5(url) — the *entity* key — so every snapshot of a sampled url
+    * is in, none of an unsampled one: the entity's full family set is
+    * observed, making the sampled ratio an unbiased estimate of the
+    * entity-level metric (a row-level sample would see partial family
+    * sets and systematically under-count conflicts). Output
+    * (n_entities, violations, value, pass) over the ~20% entity
+    * sample; audit rows flag `estimate=true` via the est_ prefix.
+    */
+  def estimatedVerdict(pages: DataFrame, dim: DataFrame,
+      threshold: Double = 0.99, threshold256: Int = 51): DataFrame =
+    verdictFrom(
+      entityMasks(pages.where(expr(Sampling.U256Sql) < threshold256), dim),
+      threshold)
+
   /** Violating entities with their conflicting language sets. */
   def violatingEntities(pages: DataFrame, dim: DataFrame): DataFrame =
     violatingFrom(pages, dim, entityMasks(pages, dim))

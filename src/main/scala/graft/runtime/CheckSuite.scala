@@ -157,73 +157,97 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         .capViolations(batchViol, CheckSuite.MaxViolationRows)
         .withColumn("run_id", lit(runId))
 
-      val (results, wholeViolOpt, helpers) = if (isFinalBatch) {
+      val (results, wholeViolOpt) = if (isFinalBatch) {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: scala.concurrent.ExecutionContext = CheckSuite.SuiteEc
+        def snap(df: DataFrame): DataFrame = df.localCheckpoint(true)
         val full = PageTable.read(spark, tableRoot).drop("pday")
         // one groupBy(url-hash-pair) bit_or shuffle serves both the
         // disjoint verdict and its violation listing; the per-host flag
         // frame serves the provenance verdict + listing. Both are
-        // persisted (unpersisted after the consuming writes below) and
-        // force-materialized in the concurrent phase.
+        // unpersisted as soon as their family future has materialized
+        // its (tiny, checkpointed) verdict + listing frames.
         val disjointMasks = Disjoint.entityMasks(full, dims.famDim)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val provFlags = Provenance.hostFlags(full)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Every whole-table family materializes its verdict + listing
+        // as a tiny checkpointed frame INSIDE the concurrent phase —
+        // after the joins below, assembling results/violations touches
+        // no corpus-scale plan, so the post-phase tail is near zero.
         val fWide = Future(phase("perday_scan") { wide.count(); () })
+        val fCompl = Future(phase("completeness_scan")(snap(completeness)))
         val fDrift = Future(phase("drift_collect")(Drift.combined(full)))
         val fExists = Future(phase("exists_probes")(Exists.verdictRows(full)))
+        val fUniqV = Future(phase("uniq_verdict")(snap(
+          Uniqueness.urlUniqueness(full).select(
+            lit(CheckId.UrlUniqueness).as("check_id"), lit("*").as("pday"),
+            col("n_rows"), col("dup_rows").as("violations"), col("value"),
+            (col("value") >= 0.99).as("pass")))))
+        val fUniqViol = Future(phase("uniq_dup_hashes")(snap(
+          Uniqueness.violations(full, ordered = false))))
+        val fDupTextV = Future(phase("duptext_verdict")(snap(
+          CheckSuite.dupTextVerdict(full))))
+        val fDupTextViol = Future(phase("duptext_viol")(snap(
+          CheckSuite.dupTextViolations(full))))
+        val fDisjoint = Future(phase("disjoint_family") {
+          disjointMasks.count()
+          val v = snap(Disjoint.verdictFrom(disjointMasks).select(
+            lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
+            col("n_entities").as("n_rows"), col("violations"), col("value"),
+            col("pass")))
+          val viol = snap(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
+          disjointMasks.unpersist()
+          (v, viol)
+        })
+        val fProvF = Future(phase("prov_family") {
+          provFlags.count()
+          val v = snap(Provenance.verdictFrom(provFlags).select(
+            lit(CheckId.ProvHostFlags).as("check_id"), lit("*").as("pday"),
+            col("n_rows"), col("violations"), col("value"), col("pass")))
+          val viol = snap(Provenance.violationsFrom(provFlags))
+          provFlags.unpersist()
+          (v, viol)
+        })
         val fNd = Future(phase("neardup_pipeline") {
           val (g, l) = graft.dedup.Dedup.clusterLabels(full)
-          (g, graft.dedup.Dedup.clusterSizesFrom(g, l).localCheckpoint(true))
+          val sizes = snap(graft.dedup.Dedup.clusterSizesFrom(g, l))
+          (snap(CheckSuite.nearDupVerdict(g, sizes)),
+            snap(CheckSuite.nearDupViolations(sizes)))
         })
-        val fMasks = Future(phase("disjoint_masks") { disjointMasks.count(); () })
-        val fProv = Future(phase("prov_flags") { provFlags.count(); () })
-        // Uniqueness.violations runs its duplicate-hash scan (broadcast
-        // decision) eagerly — in here so it overlaps the other jobs
-        val fUniqViol = Future(phase("uniq_dup_hashes")(
-          Uniqueness.violations(full, ordered = false)))
         val fBatchViol = Future(phase("batchviol_write")(
           violBatchRun.write.mode(SaveMode.Append).parquet(violationsPath)))
-        val uniq = Uniqueness.urlUniqueness(full).select(
-          lit(CheckId.UrlUniqueness).as("check_id"), lit("*").as("pday"),
-          col("n_rows"), col("dup_rows").as("violations"), col("value"),
-          (col("value") >= 0.99).as("pass"))
-        val dupText = CheckSuite.dupTextVerdict(full)
         val drift = Await.result(fDrift, Duration.Inf).select(
           col("check_id"), lit("*").as("pday"),
           (col("base_rows") + col("cur_rows")).as("n_rows"),
           lit(0L).as("violations"), col("value"), col("pass"))
         val exists = Await.result(fExists, Duration.Inf)
-        val disjoint = Disjoint.verdictFrom(disjointMasks).select(
-          lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
-          col("n_entities").as("n_rows"), col("violations"), col("value"),
-          col("pass"))
-        val prov = Provenance.verdictFrom(provFlags).select(
-          lit(CheckId.ProvHostFlags).as("check_id"), lit("*").as("pday"),
-          col("n_rows"), col("violations"), col("value"), col("pass"))
-        val (ndGroups, ndSizes) = Await.result(fNd, Duration.Inf)
-        val nearDup = CheckSuite.nearDupVerdict(ndGroups, ndSizes)
+        val complSnap = Await.result(fCompl, Duration.Inf)
+        val uniq = Await.result(fUniqV, Duration.Inf)
+        val dupText = Await.result(fDupTextV, Duration.Inf)
+        val (disjoint, disjointViol) = Await.result(fDisjoint, Duration.Inf)
+        val (prov, provViol) = Await.result(fProvF, Duration.Inf)
+        val (nearDup, nearDupViol) = Await.result(fNd, Duration.Inf)
         val uniqViolRows = Await.result(fUniqViol, Duration.Inf)
+        val dupTextViol = Await.result(fDupTextViol, Duration.Inf)
         Await.result(fWide, Duration.Inf)
-        Await.result(fMasks, Duration.Inf)
-        Await.result(fProv, Duration.Inf)
         Await.result(fBatchViol, Duration.Inf)
         val wholeViol = uniqViolRows
-          .unionByName(CheckSuite.dupTextViolations(full))
-          .unionByName(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
-          .unionByName(Provenance.violationsFrom(provFlags))
-          .unionByName(CheckSuite.nearDupViolations(ndSizes))
-        (perDay.unionByName(uniq).unionByName(dupText)
+          .unionByName(dupTextViol)
+          .unionByName(disjointViol)
+          .unionByName(provViol)
+          .unionByName(nearDupViol)
+        val perDaySnapped = fusedByDay.unionByName(complSnap)
+          .unionByName(estimated).unionByName(estDeclared)
+        (perDaySnapped.unionByName(uniq).unionByName(dupText)
            .unionByName(drift).unionByName(exists).unionByName(disjoint)
            .unionByName(prov).unionByName(nearDup),
-          Some(wholeViol),
-          Seq(disjointMasks, provFlags))
+          Some(wholeViol))
       } else {
         phase("violations_write")(
           violBatchRun.write.mode(SaveMode.Append).parquet(violationsPath))
-        (perDay, None, Seq.empty[DataFrame])
+        (perDay, None)
       }
 
       val resultsRun = results.withColumn("run_id", lit(runId))
@@ -248,11 +272,6 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
       }
       val resultsSnap =
         scala.concurrent.Await.result(fResults, scala.concurrent.duration.Duration.Inf)
-      // both consumers (results + violations) are materialized — drop
-      // the helper caches now (Dataset.persist pins blocks via the
-      // session CacheManager's strong reference, so without this they
-      // would stay resident for the driver's lifetime)
-      helpers.foreach(_.unpersist())
       phase("results_write")(
         resultsSnap.write.mode(SaveMode.Append).parquet(resultsPath))
 

@@ -41,4 +41,17 @@ class DisjointSpec extends AnyFunSuite {
     assert(got.map(_.getString(0)).toSet == expUrls)
     got.foreach(r => assert(r.getAs[String]("families") == "cjk,latin"))
   }
+
+  test("estimated disjoint verdict runs over the entity-keyed ~20% sample") {
+    val bigPages = graft.synth.PageSynth.pages(spark, TestSpark.sf001)
+    val dim = Disjoint.famDim(spark)
+    val full = Disjoint.verdict(bigPages, dim).collect()(0)
+    val est = Disjoint.estimatedVerdict(bigPages, dim).collect()(0)
+    val (nFull, nEst) = (full.getAs[Long]("n_entities"), est.getAs[Long]("n_entities"))
+    // entity sample ≈ 20% of entities (hash-uniform over urls)
+    assert(nEst > 0 && nEst < nFull)
+    assert(math.abs(nEst.toDouble / nFull - 0.2) < 0.05, s"sampled frac ${nEst.toDouble / nFull}")
+    // the sampled ratio estimates the full entity-level metric
+    assert(math.abs(est.getAs[Double]("value") - full.getAs[Double]("value")) < 0.01)
+  }
 }
