@@ -137,9 +137,10 @@ object ScalingBench {
           }
           f"\n**Secondary pair 8→32** (transparency): T_8 = $t8%.2f s, T_32 = $t32%.2f s → " +
             f"efficiency **$eff2%.3f**" +
-            c2.map(c => f" against a machine ceiling of **$c%.3f** at the same levels " +
-              f"(the host only partially backs vCPUs 17–32: SMT, not engine serialization" +
-              f"; relative: **${eff2 / c}%.3f**)").getOrElse("") + ".\n"
+            c2.map(c => f" against a register-compute ceiling of **$c%.3f** at the same " +
+              f"levels (relative: **${eff2 / c}%.3f**); the binding shared resource past " +
+              f"~8-16 workers is memory bandwidth — see BENCH/stream_ceiling.json, where " +
+              f"aggregate large-array streaming saturates between 8 and 32 pinned workers").getOrElse("") + ".\n"
         } else ""
       }
       val scopeLine = verdictRowsOf(n4).orElse(verdictRowsOf(n)).map(v =>
