@@ -167,28 +167,38 @@ object Dedup {
       size(array_union(a, b)).cast("double"), 6)
 
   /** Drop candidate-generation rows in oversized buckets (keys
-    * `keyCols`), logging how many buckets were dropped. `keyed` must
-    * already be materialized (persisted/checkpointed) — the size pass
-    * and the anti-join both re-read it.
+    * `keyCols`), returning the filtered frame and the number of dropped
+    * buckets (also logged). `keyed` must already be materialized
+    * (persisted/checkpointed) — the size pass and the anti-join both
+    * re-read it. Shared by the text (minhash/simhash) and embedding
+    * ([[graft.sim.Similarity]]) LSH paths; callers that fold the check
+    * into the assessment lifecycle surface the dropped-bucket count in
+    * their audit params so a capped (reduced-recall) run is
+    * distinguishable downstream, not just in driver stderr.
     */
-  private def capBuckets(keyed: DataFrame, keyCols: Seq[String],
-      what: String, maxBucket: Long): DataFrame = {
+  private[graft] def capBucketsCounted(keyed: DataFrame, keyCols: Seq[String],
+      what: String, maxBucket: Long): (DataFrame, Long) = {
     val oversized = keyed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bn"))
       .where(col("bn") > maxBucket)
       .localCheckpoint(true) // tiny by construction; also gives the count
     val nOver = oversized.count()
-    if (nOver == 0) keyed
+    if (nOver == 0) (keyed, 0L)
     else {
       // no silent caps: an adversarial template family degrades recall
-      // measurably, with the evidence in the log, instead of detonating
-      // the candidate join
+      // measurably, with the evidence in the log + audit params, instead
+      // of detonating the candidate join
       System.err.println(
         s"[dedup] $what: dropped $nOver LSH bucket(s) larger than $maxBucket reps " +
           s"from candidate generation (max size ${oversized.agg(max("bn")).head.getLong(0)})")
-      keyed.join(broadcast(oversized.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      (keyed.join(broadcast(oversized.select(keyCols.map(col): _*)), keyCols, "left_anti"),
+        nOver)
     }
   }
+
+  private def capBuckets(keyed: DataFrame, keyCols: Seq[String],
+      what: String, maxBucket: Long): DataFrame =
+    capBucketsCounted(keyed, keyCols, what, maxBucket)._1
 
   /** MinHash+LSH near-duplicate *representative* pairs, verified with
     * exact Jaccard. Output: (url_a, url_b, jaccard, n_docs_a, n_docs_b)

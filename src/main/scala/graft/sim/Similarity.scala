@@ -39,6 +39,16 @@ import scala.util.Random
   *    ≤ Salts·k survivors. One reducer never sorts a whole corpus'
   *    scores for a query, which the single
   *    `Window.partitionBy(query_id)` forced at 10^12 rows.
+  *
+  * Round-4 scale-shape fixes (the Dedup pattern, Dedup.scala band
+  * join): candidate generation is **keys-only** — the band join carries
+  * (id, band_id, band_val) ≈ 24 bytes/row, and embeddings are joined
+  * back from the compact id-keyed side only for matched pairs, so a
+  * vector crosses a shuffle at most once instead of ×bands with its
+  * ~512-byte payload attached. Oversized band buckets (templated /
+  * near-zero embeddings sharing sign bits) are dropped from candidate
+  * generation with a logged + surfaced count ([[CappedResult]]) — no
+  * silent caps, no quadratic self-join.
   */
 object Similarity {
 
@@ -103,13 +113,26 @@ object Similarity {
     transform(bv, (x, i) => struct((i - 1).cast("int").as("band_id"), x.as("band_val")))
   }
 
-  /** Explode a side into (…, band_id, band_val) rows via the native
-    * band array (posexplode → no per-element struct allocation).
+  /** Candidate-generation bucket cap (same rationale and default as
+    * [[graft.dedup.Dedup.MaxBucketSize]]): a degenerate band value — a
+    * mass of templated or near-zero embeddings sharing sign bits —
+    * would make the band join quadratic; buckets above this are dropped
+    * from candidate generation with a logged + surfaced count.
     */
-  private def explodeBands(df: DataFrame, vecCol: String, bandBits: Int,
-      keep: Seq[String]): DataFrame =
-    df.withColumn("__bv", bandVals(col(vecCol), bandBits))
-      .select(keep.map(col) :+ posexplode(col("__bv")).as(Seq("band_id", "band_val")): _*)
+  val MaxBucketSize = 10000L
+
+  /** Banded LSH keys only — (id, band_id, band_val), ~24 bytes/row.
+    * This is the ONLY shape allowed below the band join: the round-3
+    * version kept the ~512-byte embedding attached, replicating every
+    * corpus vector ×bands through the candidate shuffle. Embeddings are
+    * joined back from the compact id-keyed side *after* candidate
+    * generation (the [[graft.dedup.Dedup]] keys-only pattern), so each
+    * vector crosses a shuffle at most once, not ×bands.
+    */
+  private def bandsKeysOnly(df: DataFrame, idCol: String, vecCol: String,
+      bandBits: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(bandVals(col(vecCol), bandBits)).as(Seq("band_id", "band_val")))
 
   /** Exact top-k per query via the salted two-phase rank: phase 1 ranks
     * within (query_id, salt-of-neighbor) — bounded sort groups — and
@@ -146,41 +169,109 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** LSH-bucketed top-k: identical output shape to [[knnBrute]] but
-    * candidates restricted to vectors sharing ≥1 band with the query
-    * (scale path; recall measured against brute in tests).
+  /** Lazy knn-LSH plan over pre-built sides: keys-only candidates
+    * (band join = corpus keys vs *broadcast* query keys — no shuffle at
+    * all for candidate generation), embeddings joined back per matched
+    * pair. Shared by the eager operator and the plan spec, which
+    * asserts no array column below the band join.
     */
-  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val q = broadcast(explodeBands(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      "qv", KnnBandBits, Seq("query_id", "qv")))
-    val c = explodeBands(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
-      "cv", KnnBandBits, Seq("neighbor_id", "cv"))
-    val scored = c.join(q, Seq("band_id", "band_val"))
+  private[graft] def knnLshScored(cVec: DataFrame, cBands: DataFrame,
+      qVec: DataFrame, k: Int): DataFrame = {
+    val qBands = broadcast(bandsKeysOnly(qVec, "query_id", "qv", KnnBandBits))
+    val cand = cBands.join(qBands, Seq("band_id", "band_val"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand.join(cVec, "neighbor_id").join(broadcast(qVec), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
-      .distinct()
     topK(scored, k)
   }
 
-  /** Embedding near-duplicate pairs via banded LSH + cosine verify.
-    * Output: (id_a, id_b, cos) with rounded cos ≥ threshold, ordered.
+  /** Lazy plan twin of [[knnLsh]] (no persist/cap/checkpoint) for the
+    * plan spec.
     */
-  def nearDupPairs(corpus: DataFrame, threshold: Double = 0.99): DataFrame = {
-    val b = explodeBands(
-      corpus.select(col("vec_id"), col("embedding")),
-      "embedding", NearDupBandBits, Seq("vec_id", "embedding"))
-    val l = b.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("band_id"), col("band_val"))
-    val r = b.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("band_id"), col("band_val"))
-    l.join(r, Seq("band_id", "band_val"))
+  private[graft] def knnLshPlan(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val qVec = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cVec = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    knnLshScored(cVec, bandsKeysOnly(cVec, "neighbor_id", "cv", KnnBandBits), qVec, k)
+  }
+
+  /** LSH-bucketed top-k: identical output shape to [[knnBrute]] but
+    * candidates restricted to vectors sharing ≥1 band with the query
+    * (scale path; recall measured against brute in tests). Eager, like
+    * the [[graft.dedup.Dedup]] pair operators: the (queries×k)-bounded
+    * result is materialized and the compact intermediates unpersisted
+    * before returning.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    knnLshCounted(corpus, queries, k, maxBucket).result
+
+  /** [[knnLsh]] plus the dropped-bucket count (no silent caps). */
+  def knnLshCounted(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      maxBucket: Long = MaxBucketSize): CappedResult = {
+    val qVec = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cVec = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBandsAll = bandsKeysOnly(cVec, "neighbor_id", "cv", KnnBandBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cBands, capped) = graft.dedup.Dedup.capBucketsCounted(
+      cBandsAll, Seq("band_id", "band_val"), "knn_lsh", maxBucket)
+    val out = knnLshScored(cVec, cBands, qVec, k).localCheckpoint(true)
+    cVec.unpersist(); cBandsAll.unpersist()
+    CappedResult(out, capped)
+  }
+
+  /** Lazy near-dup plan over pre-built sides: keys-only band self-join
+    * → distinct candidate id pairs → embeddings joined back (once per
+    * id, not ×bands) for the cosine verify.
+    */
+  private[graft] def nearDupScored(vecs: DataFrame, bands: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = bands.select(col("vec_id").as("id_a"), col("band_id"), col("band_val"))
+      .join(bands.select(col("vec_id").as("id_b"), col("band_id"), col("band_val")),
+        Seq("band_id", "band_val"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      .distinct()
+  }
+
+  /** Lazy plan twin of [[nearDupPairs]] for the plan spec. */
+  private[graft] def nearDupPlan(corpus: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    nearDupScored(vecs, bandsKeysOnly(vecs, "vec_id", "embedding", NearDupBandBits), threshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Eager result + the dropped-bucket count ("no silent caps" — the
+    * suite surfaces it in the audit params).
+    */
+  final case class CappedResult(result: DataFrame, cappedBuckets: Long)
+
+  /** Embedding near-duplicate pairs via banded LSH + cosine verify.
+    * Output: (id_a, id_b, cos) with rounded cos ≥ threshold, ordered.
+    * Eager (checkpointed result, intermediates unpersisted).
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double = 0.99,
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    nearDupPairsCounted(corpus, threshold, maxBucket).result
+
+  /** [[nearDupPairs]] plus the dropped-bucket count. */
+  def nearDupPairsCounted(corpus: DataFrame, threshold: Double = 0.99,
+      maxBucket: Long = MaxBucketSize): CappedResult = {
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsAll = bandsKeysOnly(vecs, "vec_id", "embedding", NearDupBandBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bands, capped) = graft.dedup.Dedup.capBucketsCounted(
+      bandsAll, Seq("band_id", "band_val"), "emb_near_dup", maxBucket)
+    val verified = nearDupScored(vecs, bands, threshold).localCheckpoint(true)
+    vecs.unpersist(); bandsAll.unpersist()
+    CappedResult(verified.orderBy("id_a", "id_b"), capped)
   }
 }

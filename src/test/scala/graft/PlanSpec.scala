@@ -69,6 +69,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
   }
 
+  test("LSH band exchanges carry keys only — no embedding column below the band join") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.ArrayType
+    // the round-3 plan replicated every ~512-byte embedding ×bands
+    // through the candidate shuffle; the keys-only rebuild must keep
+    // every band-keyed exchange at (id, band_id, band_val) width
+    val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (df <- Seq(
+          graft.sim.Similarity.nearDupPlan(v),
+          graft.sim.Similarity.knnLshPlan(v, v.where(col("vec_id") < 5)))) {
+        val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+        val bandExchanges = exchanges.filter(_.output.exists(_.name == "band_val"))
+        assert(bandExchanges.nonEmpty, "expected band-keyed exchanges in the plan")
+        for (e <- bandExchanges)
+          assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            "band exchange must be keys-only, got: " +
+              e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("knn top-k bottom-most window partitions by (query_id, salt)") {
     // the scored set is corpus-sized: a single Window.partitionBy(query_id)
     // would sort all of one query's N scores in one task at 10^12 rows,
@@ -76,7 +99,8 @@ class PlanSpec extends AnyFunSuite {
     val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
     for (df <- Seq(
         graft.sim.Similarity.knnBrute(v, v.where(col("vec_id") < 5)),
-        graft.sim.Similarity.knnLsh(v, v.where(col("vec_id") < 5)))) {
+        // knnLsh is eager (checkpointed result) — assert on its lazy plan twin
+        graft.sim.Similarity.knnLshPlan(v, v.where(col("vec_id") < 5)))) {
       val p = plan(df)
       val windows = p.split("\n").filter(_.contains("Window [row_number"))
       assert(windows.length == 2, s"expected the two-phase rank:\n${p.take(1200)}")

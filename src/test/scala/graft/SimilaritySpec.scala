@@ -53,6 +53,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxBucket / n < 0.01, s"max bucket fraction = ${maxBucket / n}")
   }
 
+  test("pathological shared-band cluster is capped, not quadratic, and the cap is surfaced") {
+    import spark.implicits._
+    // 40 near-identical vectors: every one shares every band value (same
+    // sign on every hyperplane) — the adversarial-template hazard. With
+    // a bucket cap of 10 the band join must drop the buckets (surfacing
+    // the count) instead of generating 40·39/2 candidate pairs per band.
+    val base = Array.tabulate(Similarity.Dim)(i => math.sin(i + 1.0))
+    val rows = (0 until 40).map(i => (i.toLong, base.map(x => x * (1.0 + i * 1e-9)).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairsCounted(corpus, 0.99, maxBucket = 10)
+    assert(capped.cappedBuckets > 0, "oversized buckets must be counted")
+    assert(capped.result.count() == 0, "capped run must not emit the quadratic pair set")
+    // uncapped run on the same corpus finds the full pair set — the cap
+    // trades recall, measurably, never correctness of what it emits
+    val full = Similarity.nearDupPairsCounted(corpus, 0.99, maxBucket = Long.MaxValue)
+    assert(full.cappedBuckets == 0)
+    assert(full.result.count() == 40L * 39 / 2)
+  }
+
   test("native cosine is bit-identical to the declarative aggregate/zip_with fold") {
     val sample = vectors.limit(200)
       .select(col("vec_id"), col("embedding").as("a"))
