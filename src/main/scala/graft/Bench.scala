@@ -49,7 +49,8 @@ object Bench {
     }
     val nDocs = PageTable.read(spark, root).count()
     val tSuite = time {
-      SuiteRunner.assess(spark, root, s"bench_${System.nanoTime()}").count()
+      SuiteRunner.assess(spark, root, s"bench_${System.nanoTime()}",
+        embeddings = Some(graft.synth.EmbSynth.vectors(spark, sfDir))).count()
     }
     results("suite_build_table") = tBuild
     results("suite_assess") = tSuite

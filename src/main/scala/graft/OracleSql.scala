@@ -849,10 +849,21 @@ object OracleSql {
          |FROM (SELECT p.url, bool_or(f.family = 'latin') AS latin, bool_or(f.family = 'cjk') AS cjk
          |      FROM pages p JOIN (${graft.checks.Disjoint.famDimDuck}) f ON p.lang = f.lang
          |      GROUP BY p.url) ent""".stripMargin
+    // near_dup_emb: brute-force cosine pairs over the embedding corpus
+    // (same vecs CTE as emb_near_dup) → connected components (second
+    // recursive CTE) → redundant vectors = nodes − components
+    val nearDupEmbPart =
+      s"""SELECT check_id, pday, n_rows, violations, value, value >= 0.85 AS pass FROM (
+         | SELECT 'near_dup_emb' AS check_id, '*' AS pday, t.n_rows, t.violations,
+         |   CASE WHEN t.n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+         |        ELSE 1.0 - CAST(t.violations AS DOUBLE) / CAST(t.n_rows AS DOUBLE) END AS value
+         | FROM (SELECT
+         |   (SELECT CAST(count(*) AS BIGINT) FROM vecs) AS n_rows,
+         |   (SELECT CAST(count(*) - count(DISTINCT lab) AS BIGINT) FROM emblab) AS violations) t) u""".stripMargin
     val parts = Seq(fusedPart, completenessPart, estPart, estDeclaredPart,
       hostPart, langPart, uniqPart, dupTextPart, psiPart, ksPart,
-      disjointPart, provPart, nearDupPart) ++ existsParts
-    // RECURSIVE for the near-dup connected-component CTE (reach)
+      disjointPart, provPart, nearDupPart, nearDupEmbPart) ++ existsParts
+    // RECURSIVE for the near-dup connected-component CTEs (reach, embreach)
     val cteRec = cte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$cteRec, $psCte$completenessBase, $provFlagsBase$dedupGroupsCte$minhashPairsCte,
        |e0 AS (SELECT url_a, url_b FROM bp WHERE jaccard >= ${graft.dedup.Dedup.JaccardThreshold}),
@@ -864,7 +875,17 @@ object OracleSql {
        |  SELECT b.dst, r.m FROM reach r JOIN bidir b ON b.src = r.n),
        |lab AS (SELECT n, min(m) AS cluster_rep FROM reach GROUP BY n),
        |nd_sizes AS (SELECT l.cluster_rep, sum(g.n_docs) AS nd
-       |  FROM lab l JOIN grp g ON g.rep = l.n GROUP BY l.cluster_rep)
+       |  FROM lab l JOIN grp g ON g.rep = l.n GROUP BY l.cluster_rep),
+       |${vecCte.stripPrefix("WITH ")},
+       |embp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+       |      WHERE round(${cosDuck("a.e", "b.e")}, 6) >= 0.99),
+       |embbidir AS (SELECT id_a AS src, id_b AS dst FROM embp UNION ALL SELECT id_b, id_a FROM embp),
+       |embreach(n, m) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM embbidir) s0
+       |  UNION
+       |  SELECT b.dst, r.m FROM embreach r JOIN embbidir b ON b.src = r.n),
+       |emblab AS (SELECT n, min(m) AS lab FROM embreach GROUP BY n)
        |SELECT * FROM (
        |${parts.mkString("\nUNION ALL\n")}
        |) s ORDER BY check_id, pday""".stripMargin

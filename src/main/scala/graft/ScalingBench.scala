@@ -81,7 +81,8 @@ object ScalingBench {
         // identical starting state per run: assessment outputs cleared
         Seq("audit", "results", "violations").foreach(d => rmrf(Paths.get(root, d)))
         val t0 = System.nanoTime()
-        verdictRows = SuiteRunner.assess(s, root, s"scal_${cpus}_${System.nanoTime()}").count()
+        verdictRows = SuiteRunner.assess(s, root, s"scal_${cpus}_${System.nanoTime()}",
+          embeddings = Some(graft.synth.EmbSynth.vectors(s, sfDir))).count()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up (codegen + JIT)
@@ -107,6 +108,11 @@ object ScalingBench {
       }
       val (tN, docs) = read(n); val (t4N, _) = read(n4)
       val eff = (tN / t4N) / (n4.toDouble / n.toDouble)
+      val vRowsScope: Option[Double] =
+        verdictRowsOf(n4).orElse(verdictRowsOf(n)).map(_.toDouble)
+      val nChecks: Double =
+        graft.runtime.CheckSuite.PerDayCheckCount.toDouble +
+          graft.runtime.CheckSuite.WholeTableCheckCount
       // machine ceiling from tools/spin_calibrate.py (pure-CPU spin at
       // the same pinned levels): the engine cannot scale better than
       // the host backs its vCPUs
@@ -145,10 +151,11 @@ object ScalingBench {
       }
       val scopeLine = verdictRowsOf(n4).orElse(verdictRowsOf(n)).map(v =>
         s"""|- suite scope: $v verdict rows per assessment (16 per-day checks ×
-            |  47 partitions + 10 whole-table checks incl. LSH near-dup
-            |  clustering and per-host provenance flags) — "validated docs/sec"
-            |  is docs ÷ wall-clock at THIS scope; round 2's smaller suite
-            |  (713 rows, no near-dup/provenance) is not directly comparable
+            |  47 partitions + 11 whole-table checks incl. text AND embedding
+            |  LSH near-dup clustering and per-host provenance flags) —
+            |  "validated docs/sec" is docs ÷ wall-clock at THIS scope; see
+            |  the per-verdict-row normalization below for cross-round
+            |  comparability (round 2: 713 rows, round 3: 762, round 4: 763)
             |""".stripMargin).getOrElse("")
       val md =
         s"""# BENCH — metricsspark scaling evidence
@@ -175,10 +182,16 @@ object ScalingBench {
            |  version (single classpath snapshot);
            |  assessment outputs cleared before each run (identical starting state)
            |
-           || level | wall-clock (s) | validated docs/sec |
-           ||---|---|---|
-           || local[$n] | ${"%.2f".format(tN)} | ${(docs / tN).round} |
-           || local[$n4] | ${"%.2f".format(t4N)} | ${(docs / t4N).round} |
+           || level | wall-clock (s) | validated docs/sec | verdict rows/sec | docs·checks/sec |
+           ||---|---|---|---|---|
+           || local[$n] | ${"%.2f".format(tN)} | ${(docs / tN).round} | ${vRowsScope.map(v => (v / tN).round.toString).getOrElse("-")} | ${vRowsScope.map(_ => (docs * nChecks / tN).round.toString).getOrElse("-")} |
+           || local[$n4] | ${"%.2f".format(t4N)} | ${(docs / t4N).round} | ${vRowsScope.map(v => (v / t4N).round.toString).getOrElse("-")} | ${vRowsScope.map(_ => (docs * nChecks / t4N).round.toString).getOrElse("-")} |
+           |
+           |(verdict rows/sec and docs·checks/sec normalize throughput by the
+           |assessed scope — rows = (check, partition) verdicts per run,
+           |checks = ${graft.runtime.CheckSuite.PerDayCheckCount} per-day +
+           |${graft.runtime.CheckSuite.WholeTableCheckCount} whole-table ids — so
+           |rounds with different suite scopes stay comparable.)
            |
            |**Scaling efficiency (N→4N)** = (T_$n / T_$n4) / 4 = **${"%.3f".format(eff)}**
            |(north-rule target ≥ 0.8)

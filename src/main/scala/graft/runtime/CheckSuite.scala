@@ -84,7 +84,8 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
     * the final batch. Returns the verdict table for this run.
     */
   def run(runId: String, dims: Dims = Dims.default(spark),
-      maxPartitions: Option[Int] = None): DataFrame = {
+      maxPartitions: Option[Int] = None,
+      embeddings: Option[DataFrame] = None): DataFrame = {
     val all = phase("list_partitions")(PageTable.partitions(tableRoot))
     val done = phase("done_partitions")(donePartitions(runId))
     val pending = all.filterNot(done).sorted
@@ -157,11 +158,39 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         .capViolations(batchViol, CheckSuite.MaxViolationRows)
         .withColumn("run_id", lit(runId))
 
+      // per-check audit params overrides (e.g. LSH capped-bucket counts —
+      // a reduced-recall run must be distinguishable in the audit table,
+      // not just in driver stderr)
+      var capParams = Map.empty[String, String]
       val (results, wholeViolOpt) = if (isFinalBatch) {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, Promise}
         import scala.concurrent.duration.Duration
         implicit val ec: scala.concurrent.ExecutionContext = CheckSuite.SuiteEc
+        // fail-fast: the first failed family aborts the phase at the
+        // NEXT await and cancels sibling jobs. Without it, a failure in
+        // a late-awaited future surfaced only after the earlier Awaits
+        // while sibling daemon threads kept appending parquet for a run
+        // whose results/audit would never land.
+        val failP = Promise[Nothing]()
+        failP.future.failed.foreach { e =>
+          System.err.println(s"[suite] whole-table phase failed, cancelling sibling jobs: $e")
+          spark.sparkContext.cancelAllJobs()
+        }
+        def track[A](body: => A): Future[A] = {
+          val f = Future(body)
+          f.failed.foreach(e => failP.tryFailure(e))
+          f
+        }
+        def await[A](f: Future[A]): A =
+          Await.result(Future.firstCompletedOf(Seq(f, failP.future)), Duration.Inf)
         def snap(df: DataFrame): DataFrame = df.localCheckpoint(true)
+        // violation listings are capped per family BEFORE the eager
+        // checkpoint (key spaces are disjoint across families, so
+        // per-family capping is exact): on a duplicate-heavy corpus the
+        // uncapped listing is corpus-scale, and materializing it just to
+        // throw most of it away at write time stored corpus-scale blocks
+        def cappedSnap(df: DataFrame): DataFrame =
+          snap(CheckSuite.capViolations(df, CheckSuite.MaxViolationRows))
         val full = PageTable.read(spark, tableRoot).drop("pday")
         // one groupBy(url-hash-pair) bit_or shuffle serves both the
         // disjoint verdict and its violation listing; the per-host flag
@@ -176,74 +205,84 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // as a tiny checkpointed frame INSIDE the concurrent phase —
         // after the joins below, assembling results/violations touches
         // no corpus-scale plan, so the post-phase tail is near zero.
-        val fWide = Future(phase("perday_scan") { wide.count(); () })
-        val fCompl = Future(phase("completeness_scan")(snap(completeness)))
-        val fDrift = Future(phase("drift_collect")(Drift.combined(full)))
-        val fExists = Future(phase("exists_probes")(Exists.verdictRows(full)))
-        val fUniqV = Future(phase("uniq_verdict")(snap(
+        val fWide = track(phase("perday_scan") { wide.count(); () })
+        val fCompl = track(phase("completeness_scan")(snap(completeness)))
+        val fDrift = track(phase("drift_collect")(Drift.combined(full)))
+        val fExists = track(phase("exists_probes")(Exists.verdictRows(full)))
+        val fUniqV = track(phase("uniq_verdict")(snap(
           Uniqueness.urlUniqueness(full).select(
             lit(CheckId.UrlUniqueness).as("check_id"), lit("*").as("pday"),
             col("n_rows"), col("dup_rows").as("violations"), col("value"),
             (col("value") >= 0.99).as("pass")))))
-        val fUniqViol = Future(phase("uniq_dup_hashes")(snap(
+        val fUniqViol = track(phase("uniq_dup_hashes")(cappedSnap(
           Uniqueness.violations(full, ordered = false))))
-        val fDupTextV = Future(phase("duptext_verdict")(snap(
+        val fDupTextV = track(phase("duptext_verdict")(snap(
           CheckSuite.dupTextVerdict(full))))
-        val fDupTextViol = Future(phase("duptext_viol")(snap(
+        val fDupTextViol = track(phase("duptext_viol")(cappedSnap(
           CheckSuite.dupTextViolations(full))))
-        val fDisjoint = Future(phase("disjoint_family") {
+        val fDisjoint = track(phase("disjoint_family") {
           disjointMasks.count()
           val v = snap(Disjoint.verdictFrom(disjointMasks).select(
             lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
             col("n_entities").as("n_rows"), col("violations"), col("value"),
             col("pass")))
-          val viol = snap(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
+          val viol = cappedSnap(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
           disjointMasks.unpersist()
           (v, viol)
         })
-        val fProvF = Future(phase("prov_family") {
+        val fProvF = track(phase("prov_family") {
           provFlags.count()
           val v = snap(Provenance.verdictFrom(provFlags).select(
             lit(CheckId.ProvHostFlags).as("check_id"), lit("*").as("pday"),
             col("n_rows"), col("violations"), col("value"), col("pass")))
-          val viol = snap(Provenance.violationsFrom(provFlags))
+          val viol = cappedSnap(Provenance.violationsFrom(provFlags))
           provFlags.unpersist()
           (v, viol)
         })
-        val fNd = Future(phase("neardup_pipeline") {
-          val (g, l) = graft.dedup.Dedup.clusterLabels(full)
-          val sizes = snap(graft.dedup.Dedup.clusterSizesFrom(g, l))
-          (snap(CheckSuite.nearDupVerdict(g, sizes)),
-            snap(CheckSuite.nearDupViolations(sizes)))
+        val fNd = track(phase("neardup_pipeline") {
+          val r = graft.dedup.Dedup.clusterLabelsCounted(full)
+          val sizes = snap(graft.dedup.Dedup.clusterSizesFrom(r.groups, r.labels))
+          (snap(CheckSuite.nearDupVerdict(r.groups, sizes)),
+            cappedSnap(CheckSuite.nearDupViolations(sizes)), r.cappedBuckets)
         })
-        val fBatchViol = Future(phase("batchviol_write")(
+        // #1's analog over the embedding corpus: hyperplane-LSH pairs →
+        // connected components → verdict + per-cluster problem bag, the
+        // same value/violation shape as near_dup_text
+        val fEmbNd = embeddings.map(vecs => track(phase("embdup_pipeline") {
+          val r = graft.sim.Similarity.nearDupPairsCounted(vecs)
+          val labels = graft.dedup.Components.labels(r.result.select("id_a", "id_b"))
+          val sizes = snap(labels.groupBy(col("label").as("cluster_rep"))
+            .agg(count(lit(1)).as("n_vecs")))
+          (snap(CheckSuite.embNearDupVerdict(vecs, sizes)),
+            cappedSnap(CheckSuite.embNearDupViolations(sizes)), r.cappedBuckets)
+        }))
+        val fBatchViol = track(phase("batchviol_write")(
           violBatchRun.write.mode(SaveMode.Append).parquet(violationsPath)))
-        val drift = Await.result(fDrift, Duration.Inf).select(
+        val drift = await(fDrift).select(
           col("check_id"), lit("*").as("pday"),
           (col("base_rows") + col("cur_rows")).as("n_rows"),
           lit(0L).as("violations"), col("value"), col("pass"))
-        val exists = Await.result(fExists, Duration.Inf)
-        val complSnap = Await.result(fCompl, Duration.Inf)
-        val uniq = Await.result(fUniqV, Duration.Inf)
-        val dupText = Await.result(fDupTextV, Duration.Inf)
-        val (disjoint, disjointViol) = Await.result(fDisjoint, Duration.Inf)
-        val (prov, provViol) = Await.result(fProvF, Duration.Inf)
-        val (nearDup, nearDupViol) = Await.result(fNd, Duration.Inf)
-        val uniqViolRows = Await.result(fUniqViol, Duration.Inf)
-        val dupTextViol = Await.result(fDupTextViol, Duration.Inf)
-        Await.result(fWide, Duration.Inf)
-        Await.result(fBatchViol, Duration.Inf)
-        val wholeViol = uniqViolRows
-          .unionByName(dupTextViol)
-          .unionByName(disjointViol)
-          .unionByName(provViol)
-          .unionByName(nearDupViol)
+        val exists = await(fExists)
+        val complSnap = await(fCompl)
+        val uniq = await(fUniqV)
+        val dupText = await(fDupTextV)
+        val (disjoint, disjointViol) = await(fDisjoint)
+        val (prov, provViol) = await(fProvF)
+        val (nearDup, nearDupViol, ndCapped) = await(fNd)
+        val embFam = fEmbNd.map(await)
+        val uniqViolRows = await(fUniqViol)
+        val dupTextViol = await(fDupTextViol)
+        await(fWide)
+        await(fBatchViol)
+        capParams = Map(CheckId.NearDupText -> CheckSuite.paramsWithCap(ndCapped)) ++
+          embFam.map(e => CheckId.NearDupEmb -> CheckSuite.paramsWithCap(e._3))
+        val wholeViol = (Seq(dupTextViol, disjointViol, provViol, nearDupViol) ++
+          embFam.map(_._2)).foldLeft(uniqViolRows)(_ unionByName _)
         val perDaySnapped = fusedByDay.unionByName(complSnap)
           .unionByName(estimated).unionByName(estDeclared)
-        (perDaySnapped.unionByName(uniq).unionByName(dupText)
-           .unionByName(drift).unionByName(exists).unionByName(disjoint)
-           .unionByName(prov).unionByName(nearDup),
-          Some(wholeViol))
+        val wholeResults = Seq(uniq, dupText, drift, exists, disjoint, prov, nearDup) ++
+          embFam.map(_._1)
+        (wholeResults.foldLeft(perDaySnapped)(_ unionByName _), Some(wholeViol))
       } else {
         phase("violations_write")(
           violBatchRun.write.mode(SaveMode.Append).parquet(violationsPath))
@@ -265,8 +304,9 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         Future(phase("results_compute")(resultsRun.localCheckpoint(true)))
       }
       wholeViolOpt.foreach { wv =>
-        val wvRun = CheckSuite.capViolations(wv, CheckSuite.MaxViolationRows)
-          .withColumn("run_id", lit(runId))
+        // already capped per family (inside the concurrent phase, before
+        // the eager checkpoint) — nothing uncapped was ever stored
+        val wvRun = wv.withColumn("run_id", lit(runId))
         phase("wholeviol_write")(
           wvRun.write.mode(SaveMode.Append).parquet(violationsPath))
       }
@@ -281,7 +321,11 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         col("value"), col("pass"),
         // the reference's isEstimate() observation-activity flag
         col("check_id").startsWith("est_").as("estimate"),
-        lit(CheckSuite.ParamsJson).as("params"),
+        // per-check params: LSH families carry their capped-bucket count
+        // so a reduced-recall (capped) run is distinguishable downstream
+        capParams.foldLeft(lit(CheckSuite.ParamsJson)) { case (acc, (id, js)) =>
+          when(col("check_id") === id, lit(js)).otherwise(acc)
+        }.as("params"),
         lit(System.currentTimeMillis()).as("finished_ts"))
       phase("audit_write")(audit.write.mode(SaveMode.Append).parquet(auditPath))
       // Fresh complete run: this batch IS the whole verdict table —
@@ -331,6 +375,12 @@ object CheckSuite {
   val PerDayCheckCount: Int =
     Conformance.preds.size + refPreds.size + graft.text.TextOps.preds.size + 3
 
+  /** Whole-table check ids emitted with the final batch (pday='*'):
+    * uniqueness, exact-dup text, psi, ks, 3 exists probes, disjoint,
+    * provenance, text near-dup, embedding near-dup.
+    */
+  val WholeTableCheckCount: Int = 11
+
   /** Near-dup verdict floor: ≥ this fraction of docs must survive
     * one-representative-per-cluster dedup.
     */
@@ -355,6 +405,36 @@ object CheckSuite {
         .as("value"))
       .withColumn("pass", col("value") >= NearDupThreshold)
   }
+
+  /** Whole-table embedding near-duplicate verdict (the [[nearDupVerdict]]
+    * shape over the embedding corpus): violations = redundant vectors
+    * (cluster members minus one representative per hyperplane-LSH
+    * cluster), value = surviving vectors / vectors.
+    */
+  def embNearDupVerdict(vecs: DataFrame, sizes: DataFrame): DataFrame = {
+    val tot = vecs.agg(count(lit(1)).as("n_rows"))
+    val red = sizes.agg(
+      (coalesce(sum(col("n_vecs")), lit(0L)) - count(lit(1))).as("violations"))
+    tot.crossJoin(red).select(
+      lit(CheckId.NearDupEmb).as("check_id"), lit("*").as("pday"),
+      col("n_rows"), col("violations"),
+      when(col("n_rows") === 0, 1.0)
+        .otherwise(lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double"))
+        .as("value"))
+      .withColumn("pass", col("value") >= NearDupThreshold)
+  }
+
+  /** Embedding near-dup violation rows: one per cluster, keyed by the
+    * minimum member vec_id.
+    */
+  def embNearDupViolations(sizes: DataFrame): DataFrame =
+    sizes.select(
+      lit(CheckId.NearDupEmb).as("check_id"),
+      lit(graft.model.ViolationKind.NearDuplicate).as("kind"),
+      lit("*").as("pday"),
+      concat(lit("vec:"), col("cluster_rep")).as("url"),
+      concat(lit("near-duplicate embedding cluster: "), col("n_vecs"),
+        lit(" vectors")).as("detail"))
 
   /** Near-duplicate violation rows: one per cluster, keyed by the
     * cluster representative (DQMPROB ResourceReplica analog — the
@@ -448,6 +528,14 @@ object CheckSuite {
     */
   val ParamsJson: String =
     """{"psi_smoothing":0.5,"psi_threshold":0.2,"ks_threshold":0.1,"sample_u256":51,"violation_cap":100000,"engine":"metricsspark-0.2"}"""
+
+  /** [[ParamsJson]] plus the LSH capped-bucket count for the near-dup
+    * families — 0 means full recall; >0 means candidate generation
+    * dropped that many oversized buckets (the audit-visible half of the
+    * "no silent caps" rule).
+    */
+  def paramsWithCap(cappedBuckets: Long): String =
+    ParamsJson.dropRight(1) + s""","capped_buckets":$cappedBuckets}"""
 }
 
 /** Dimension snapshots the suite joins against. */

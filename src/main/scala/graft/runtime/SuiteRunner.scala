@@ -29,12 +29,17 @@ object SuiteRunner {
     val root = buildTable(spark, sfDir)
     // fresh audit per invocation for a deterministic full assessment
     val runId = s"verify_${System.nanoTime()}"
-    new CheckSuite(spark, root).run(runId)
+    new CheckSuite(spark, root).run(runId,
+        embeddings = Some(graft.synth.EmbSynth.vectors(spark, sfDir)))
       .select("check_id", "pday", "n_rows", "violations", "value", "pass")
       .orderBy("check_id", "pday")
   }
 
-  /** Suite run on an already-built table (the benched hot path). */
-  def assess(spark: SparkSession, root: String, runId: String): DataFrame =
-    new CheckSuite(spark, root).run(runId)
+  /** Suite run on an already-built table (the benched hot path). The
+    * embedding corpus rides along when the caller has one — the
+    * `near_dup_emb` family is part of the assessed scope.
+    */
+  def assess(spark: SparkSession, root: String, runId: String,
+      embeddings: Option[DataFrame] = None): DataFrame =
+    new CheckSuite(spark, root).run(runId, embeddings = embeddings)
 }

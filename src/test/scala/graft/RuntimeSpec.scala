@@ -34,20 +34,31 @@ class RuntimeSpec extends AnyFunSuite {
   test("suite run produces per-partition verdicts + audit rows, and resume is a no-op") {
     val root = freshTable()
     val suite = new CheckSuite(spark, root)
-    val r1 = suite.run("run1")
+    val vecs = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
+    val r1 = suite.run("run1", embeddings = Some(vecs))
     val perDay = r1.where(col("pday") =!= "*")
     assert(perDay.groupBy("pday").count().count() == 47)
     // uniqueness + dup_text + psi + ks + 3 exists probes + disjoint_lang
-    // + prov_host_flags + near_dup_text
-    assert(r1.where(col("pday") === "*").count() == 10)
+    // + prov_host_flags + near_dup_text + near_dup_emb
+    assert(r1.where(col("pday") === "*").count() == CheckSuite.WholeTableCheckCount)
+    // the embedding near-dup family found the injected copies
+    val embRow = r1.where(col("check_id") === "near_dup_emb").collect()(0)
+    assert(embRow.getAs[Long]("violations") ==
+      vecs.where(col("is_copy")).count())
     // the sampled-estimate check is flagged estimate=true in the audit
     val estFlags = suite.auditTable.select("check_id", "estimate").distinct()
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(estFlags("est_conform_url"))
     assert(!estFlags("conform_url"))
+    // LSH families surface their capped-bucket count in the audit params
+    val ndParams = suite.auditTable
+      .where(col("check_id").isin("near_dup_text", "near_dup_emb"))
+      .select("params").collect().map(_.getString(0))
+    assert(ndParams.length == 2)
+    ndParams.foreach(p => assert(p.contains("\"capped_buckets\":0"), p))
     val auditN = suite.auditTable.count()
     // resume with nothing left: no new audit rows, same verdicts
-    val r2 = suite.run("run1")
+    val r2 = suite.run("run1", embeddings = Some(vecs))
     assert(suite.auditTable.count() == auditN)
     assert(r2.collect().map(_.toString).sorted.toSeq == r1.collect().map(_.toString).sorted.toSeq)
   }
@@ -55,17 +66,24 @@ class RuntimeSpec extends AnyFunSuite {
   test("interrupted run resumes: each partition assessed exactly once, verdicts equal a fresh run") {
     val root = freshTable()
     val suite = new CheckSuite(spark, root)
-    suite.run("runA", maxPartitions = Some(10)) // simulate a run that stopped after 10 partitions
+    val vecs = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
+    // simulate a run that stopped after 10 partitions
+    suite.run("runA", maxPartitions = Some(10), embeddings = Some(vecs))
     assert(suite.donePartitions("runA").size == 10)
-    val resumed = suite.run("runA") // resume to completion
+    val resumed = suite.run("runA", embeddings = Some(vecs)) // resume to completion
     // every per-day (check, pday) assessed exactly once
     val dupAssessments = suite.auditTable
       .where(col("run_id") === "runA" && col("pday") =!= "*")
       .groupBy("check_id", "pday").count().where(col("count") > 1).count()
     assert(dupAssessments == 0)
+    // whole-table families (incl. near_dup_emb) assessed exactly once too
+    assert(suite.auditTable
+      .where(col("run_id") === "runA" && col("pday") === "*")
+      .groupBy("check_id").count().where(col("count") > 1).count() == 0)
+    assert(resumed.where(col("check_id") === "near_dup_emb").count() == 1)
     // verdicts identical to an uninterrupted run on a fresh table
     val root2 = freshTable()
-    val fresh = new CheckSuite(spark, root2).run("runB")
+    val fresh = new CheckSuite(spark, root2).run("runB", embeddings = Some(vecs))
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("check_id", "pday", "n_rows", "violations", "value", "pass")
         .collect().map(_.toString).sorted.toSeq
