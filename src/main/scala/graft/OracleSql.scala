@@ -634,6 +634,37 @@ object OracleSql {
        |   FROM d GROUP BY pday) a) b
        |ORDER BY pday""".stripMargin
 
+  /** #33's composition: equal-allocation stratified sample (distinct
+    * urls, min(cap, n) smallest md5 per host) × declared-vs-derived,
+    * scaled per host. Mirrors
+    * Sampling.estimatedDeclaredVsDerivedStratified.
+    */
+  val estDeclaredVsDerivedStratified: String =
+    s"""$cte,
+       |wh AS (SELECT host, url, text, lang FROM (
+       |  SELECT $hostExpr AS host, url, text, lang FROM pages
+       |  WHERE text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL) x
+       |  WHERE host <> ''),
+       |u AS (SELECT DISTINCT host, url FROM wh),
+       |rk AS (SELECT host, url,
+       |  row_number() OVER (PARTITION BY host ORDER BY md5(url), url) AS rnk FROM u),
+       |smp AS (SELECT host, url FROM rk WHERE rnk <= 10),
+       |j AS (SELECT wh.host, wh.lang, $scoreCols, (smp.url IS NOT NULL) AS in_s
+       |      FROM wh LEFT JOIN smp ON wh.host = smp.host AND wh.url = smp.url),
+       |d AS (SELECT host, lang, in_s, $detectedDuck AS detected
+       |      FROM (SELECT *, $bestExpr AS best FROM j) t),
+       |a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN in_s AND detected <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+       |  CAST(sum(CASE WHEN in_s AND detected <> 'und' AND detected <> lang THEN 1 ELSE 0 END) AS BIGINT) AS bad
+       |  FROM d GROUP BY host)
+       |SELECT host, n_rows, sampled, violations, value, value >= 0.5 AS pass FROM (
+       | SELECT host, n_rows, sampled,
+       |   CASE WHEN sampled = 0 THEN CAST(0 AS BIGINT)
+       |        ELSE CAST(round(CAST(bad AS DOUBLE) * CAST(n_rows AS DOUBLE) / CAST(sampled AS DOUBLE), 0) AS BIGINT) END AS violations,
+       |   CASE WHEN sampled = 0 THEN CAST(1.0 AS DOUBLE)
+       |        ELSE 1.0 - CAST(bad AS DOUBLE) / CAST(sampled AS DOUBLE) END AS value
+       | FROM a) t ORDER BY host""".stripMargin
+
   /** Mirrors Provenance.hostFlags / verdict: per-dataset (host)
     * provenance-marker flags via groupBy + max (#25/#26 analog).
     */
@@ -935,6 +966,7 @@ object OracleSql {
     "sample_stratified_equal_alloc" -> sampleStratifiedEqualAlloc,
     "sample_stratified_equal_rows" -> sampleStratifiedEqualRows,
     "est_declared_vs_derived" -> estDeclaredVsDerived,
+    "est_declared_vs_derived_stratified" -> estDeclaredVsDerivedStratified,
     "prov_host_flags" -> provHostFlags,
     "prov_verdict" -> provVerdict,
     "dedup_cluster_sizes" -> dedupClusterSizes,

@@ -100,6 +100,10 @@ object SparkEntry {
     "sample_stratified_equal_rows" -> ((s, dir) => Sampling.stratifiedSampleEqual(pages(s, dir))),
     // sampled composition over the expensive derivation check (#32)
     "est_declared_vs_derived" -> ((s, dir) => Sampling.estimatedDeclaredVsDerived(pages(s, dir))),
+    // #33: the stratified composition — equal-allocation sample ×
+    // declared-vs-derived, scaled per host
+    "est_declared_vs_derived_stratified" -> ((s, dir) =>
+      Sampling.estimatedDeclaredVsDerivedStratified(pages(s, dir))),
     // per-group provenance flags (#25/#26 groupBy(host).agg(max(flag)))
     "prov_host_flags" -> ((s, dir) => Provenance.hostFlags(pages(s, dir))),
     "prov_verdict" -> ((s, dir) => Provenance.verdict(pages(s, dir))),

@@ -35,8 +35,67 @@ object Disjoint {
     "en" -> "latin", "fr" -> "latin", "es" -> "latin", "de" -> "latin",
     "it" -> "latin", "pt" -> "latin", "zh" -> "cjk", "ja" -> "cjk")
 
-  /** Declared disjoint family pairs (the `owl:disjointWith` axioms). */
-  val DisjointPairs: Seq[(String, String)] = Seq(("latin", "cjk"))
+  /** Family hierarchy: `rdfs:subClassOf` edges (family → parent class).
+    * The taxonomy here is script → writing-system macro-class; the
+    * declared `owl:disjointWith` axiom lives at the TOP of the
+    * hierarchy only, so base-family disjointness is *inherited* through
+    * the closure — the reference resolves exactly this via the
+    * subClassOf* closure query (U/commons/VocabularyLoader.java:755-786)
+    * feeding the disjointWith closure (:888-912), and
+    * AdvancedEntitiesAsMembersOfDisjointClasses.java:115-149 flags
+    * entities whose type sets intersect the CLOSED pair set.
+    */
+  val SubClassOf: Seq[(String, String)] = Seq(
+    "latin" -> "alphabetic", "cjk" -> "logographic")
+
+  /** Declared `owl:disjointWith` axioms — top-of-hierarchy classes only;
+    * nothing directly declares latin ⟂ cjk.
+    */
+  val DeclaredDisjoint: Seq[(String, String)] = Seq(("alphabetic", "logographic"))
+
+  /** Reflexive-transitive ancestor set under `subClassOf` (the
+    * subClassOf* closure; multi-parent edges supported).
+    */
+  private[graft] def ancestors(f: String, subClassOf: Seq[(String, String)]): Set[String] = {
+    val up = subClassOf.groupMap(_._1)(_._2)
+    @annotation.tailrec
+    def walk(frontier: Set[String], seen: Set[String]): Set[String] =
+      if (frontier.isEmpty) seen
+      else {
+        val next = frontier.flatMap(up.getOrElse(_, Nil)) -- seen
+        walk(next, seen ++ next)
+      }
+    walk(Set(f), Set(f))
+  }
+
+  /** Disjoint closure over base families: (f, g) is effectively disjoint
+    * iff some declared pair (a, b) has a ∈ anc*(f) and b ∈ anc*(g) (or
+    * swapped) — disjointness of ancestors is inherited by every
+    * descendant pair. Materialized offline (driver-side, the dim is
+    * tiny) — the Spark-side check machinery consumes only the closed
+    * pair set, exactly like the reference materializes the closure into
+    * its vocabulary cache before streaming quads.
+    */
+  private[graft] def closedDisjointPairs(base: Seq[String],
+      subClassOf: Seq[(String, String)],
+      declared: Seq[(String, String)]): Seq[(String, String)] = {
+    val anc = base.map(f => f -> ancestors(f, subClassOf)).toMap
+    for {
+      (f, i) <- base.zipWithIndex
+      g <- base.drop(i + 1)
+      if declared.exists { case (a, b) =>
+        (anc(f)(a) && anc(g)(b)) || (anc(g)(a) && anc(f)(b))
+      }
+    } yield (f, g)
+  }
+
+  /** Effective disjoint base-family pairs: the declared axioms pushed
+    * down through the subClassOf* closure. With the default taxonomy
+    * this yields (latin, cjk) — reachable only via the inherited
+    * (alphabetic, logographic) axiom.
+    */
+  val DisjointPairs: Seq[(String, String)] =
+    closedDisjointPairs(Families.map(_._2).distinct, SubClassOf, DeclaredDisjoint)
 
   /** Stable family → bit assignment (declaration order). */
   val FamilyBit: Map[String, Long] =

@@ -31,6 +31,15 @@ object Exists {
     */
   val ProbeRows = 100000
 
+  /** Predicates projected to booleans — evaluated BEFORE the bounded
+    * probe's limit, so the single-partition global-limit exchange
+    * carries 3 booleans per row, never the html payloads / text the
+    * predicates inspect (the round-3 probe funneled 100k full-width
+    * rows through it).
+    */
+  private[graft] def flagsFrame(pages: DataFrame): DataFrame =
+    pages.select(checks.map(c => c.pred.as(c.id)): _*)
+
   /** Run every probe; output (check_id, value ∈ {0,1}, pass), one row
     * per check, in declaration order.
     *
@@ -45,14 +54,16 @@ object Exists {
   def results(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
+    val flags = flagsFrame(pages)
     def fusedScan(df: DataFrame, cs: Seq[ExistsCheck]): Map[String, Long] = {
-      val aggs = cs.map(c => coalesce(max(when(c.pred, 1L).otherwise(0L)), lit(0L)).as(c.id))
+      val aggs = cs.map(c =>
+        coalesce(max(when(col(c.id), 1L).otherwise(0L)), lit(0L)).as(c.id))
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       cs.map(c => c.id -> row.getAs[Long](c.id)).toMap
     }
-    val head = fusedScan(pages.limit(ProbeRows), checks)
+    val head = fusedScan(flags.limit(ProbeRows), checks)
     val missing = checks.filter(c => head(c.id) == 0L)
-    val full = if (missing.isEmpty) Map.empty[String, Long] else fusedScan(pages, missing)
+    val full = if (missing.isEmpty) Map.empty[String, Long] else fusedScan(flags, missing)
     checks.map { c =>
       val v = full.getOrElse(c.id, head(c.id))
       (c.id, v, v == 1L)

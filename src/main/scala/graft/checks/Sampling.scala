@@ -226,6 +226,62 @@ object Sampling {
   def stratifiedSampleEqual(pages: DataFrame, cap: Int = 10): DataFrame =
     stratifiedSampleBy(pages, takeEqualExpr(_, cap))
 
+  /** #33 EstimatedMisreportedContentTypeByStratified — the actual
+    * *composition* of the stratified sample and the expensive
+    * declared-vs-derived check (reference:
+    * A/availability/EstimatedMisreportedContentTypeByStratified.java):
+    * per host, take the equal-allocation sample of distinct urls
+    * (min(cap, n) smallest md5(url) — deterministic), evaluate the
+    * language derivation ONLY on the sampled rows, and scale each
+    * host's misreport count back by its own sampling ratio.
+    *
+    * Scale shape: the sample-url set is broadcast-sized (hosts × cap),
+    * so membership is a broadcast join; the corpus-scale aggregation is
+    * one groupBy(host) whose derivation column is evaluated under
+    * `when(in_sample, …)` — only ≤cap·hosts rows pay for it. The
+    * distinct-url pass ranks with the same salted two-phase window as
+    * [[stratifiedSampleEqual]] (no full-stratum sort on the 40%-skewed
+    * head host).
+    *
+    * Output: (host, n_rows, sampled, violations, value, pass) where
+    * `violations` is the per-host scaled estimate and `value` the
+    * in-sample conformance ratio, ordered by host.
+    */
+  def estimatedDeclaredVsDerivedStratified(pages: DataFrame, cap: Int = 10,
+      threshold: Double = 0.5): DataFrame = {
+    val applicable = col("text").isNotNull && length(col("text")) > 0 && col("lang").isNotNull
+    val rows = withHost(pages).where(applicable)
+    // equal-allocation sample at the URL (entity) level: every snapshot
+    // of a sampled url is in, none of an unsampled one
+    val urls = rows.select(col("host"), col("url")).distinct()
+    val salted = urls.withColumn("salt", pmod(xxhash64(col("url")), lit(Salts.toLong)))
+    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(md5(col("url")), col("url"))
+    val w2 = Window.partitionBy(col("host")).orderBy(md5(col("url")), col("url"))
+    val sampleUrls = salted
+      .withColumn("r1", row_number().over(w1)).where(col("r1") <= cap)
+      .withColumn("rnk", row_number().over(w2)).where(col("rnk") <= cap)
+      .select(col("host"), col("url"), lit(true).as("in_s"))
+    val detected = graft.text.TextOps.detectedLang(col("text"))
+    rows.join(broadcast(sampleUrls), Seq("host", "url"), "left")
+      .withColumn("det", when(coalesce(col("in_s"), lit(false)), detected))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("det").isNotNull && col("det") =!= "und", 1L).otherwise(0L)).as("sampled"),
+        sum(when(col("det").isNotNull && col("det") =!= "und" && col("det") =!= col("lang"), 1L)
+          .otherwise(0L)).as("bad_sampled"))
+      .withColumn("violations",
+        when(col("sampled") === 0, 0L).otherwise(
+          round(col("bad_sampled").cast("double") * col("n_rows").cast("double")
+            / col("sampled").cast("double"), 0).cast("long")))
+      .withColumn("value",
+        when(col("sampled") === 0, 1.0).otherwise(
+          lit(1.0) - col("bad_sampled").cast("double") / col("sampled").cast("double")))
+      .withColumn("pass", col("value") >= threshold)
+      .select("host", "n_rows", "sampled", "violations", "value", "pass")
+      .orderBy("host")
+  }
+
   private def stratifiedSampleBy(pages: DataFrame,
       takeOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val rows = withHost(pages)

@@ -60,23 +60,27 @@ object StreamingChecks {
         Seq(col(s"${safe(p.id)}__n_rows"), col(s"${safe(p.id)}__bad"))): _*)
   }
 
-  /** Streaming variant of the suite's *referential* family: broadcast
-    * the dimension snapshots into the stream (a stream–static equi-join
-    * is stateless — each micro-batch probes the broadcast table, no
-    * watermark interaction) and fuse the referential predicates into
-    * the same windowed aggregation as the conformance bank. This is the
-    * same one-scan fusion CheckSuite performs in batch
-    * (CheckSuite.refPreds), so streamed days converge to the batch
-    * verdict counts for both families.
+  /** Streaming variant of the suite's *referential + text* families:
+    * broadcast the dimension snapshots into the stream (a stream–static
+    * equi-join is stateless — each micro-batch probes the broadcast
+    * table, no watermark interaction), derive the text columns (ONE
+    * native byte scan per row — [[graft.text.TextOps.withDerived]] is a
+    * deterministic stateless projection, so it fuses into the stream
+    * exactly as in batch), and run conformance + referential + text
+    * quality + declared-vs-derived as one windowed aggregation. This is
+    * the full per-day predicate bank CheckSuite fuses in batch, so
+    * streamed days converge to the batch verdict counts for all three
+    * families.
     */
   def conformanceWithDims(stream: DataFrame, hostDim: DataFrame,
       langDim: DataFrame, watermark: String = "2 days"): DataFrame = {
-    val joined = stream
+    val joined = graft.text.TextOps.withDerived(stream)
       .withColumn("host", graft.checks.Referential.hostExpr)
       .join(broadcast(hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
       .join(broadcast(langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
     conformanceByWindow(joined,
-      Conformance.preds ++ graft.runtime.CheckSuite.refPreds, watermark)
+      Conformance.preds ++ graft.runtime.CheckSuite.refPreds ++ graft.text.TextOps.preds,
+      watermark)
   }
 
   /** Start the streaming assessment into an in-memory table (tests /

@@ -26,6 +26,26 @@ class DisjointSpec extends AnyFunSuite {
       .flatMap(p => famOf.get(p.lang.get).map(f => p.url -> f))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
+  test("disjointness is inherited through the subClassOf* closure") {
+    // default taxonomy: latin ⟂ cjk is NOT declared directly — the only
+    // axiom is (alphabetic, logographic) at the top of the hierarchy, so
+    // every disjoint_lang violation the end-to-end tests below flag is
+    // reachable ONLY via the closure
+    assert(!Disjoint.DeclaredDisjoint.contains(("latin", "cjk")))
+    assert(Disjoint.DisjointPairs == Seq(("latin", "cjk")))
+    // deeper fixture: axiom two levels up; a sibling pair under a COMMON
+    // ancestor must NOT become disjoint
+    val sub = Seq("a" -> "p", "b" -> "q", "p" -> "top1", "q" -> "top2", "c" -> "p")
+    val closed = Disjoint.closedDisjointPairs(Seq("a", "b", "c"), sub, Seq(("top1", "top2")))
+    assert(closed.toSet == Set(("a", "b"), ("b", "c")),
+      s"a,c share ancestor p/top1 and must stay compatible; got $closed")
+    // reflexive guard: a family is never disjoint with itself
+    assert(!closed.contains(("a", "a")))
+    // axiom naming a base family directly still closes over the OTHER side
+    val mixed = Disjoint.closedDisjointPairs(Seq("a", "b"), sub, Seq(("a", "top2")))
+    assert(mixed == Seq(("a", "b")))
+  }
+
   test("verdict matches model-derived entity/violation counts") {
     val exp = modelEntities
     val expViol = exp.count(_._2.size > 1) // two families total ⇒ >1 = disjoint pair

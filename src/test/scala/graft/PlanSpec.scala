@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!alloc.contains("Window"), alloc.take(800))
   }
 
+  test("exists probe hauls only predicate booleans through the bounded limit") {
+    import org.apache.spark.sql.types.BooleanType
+    val probe = Exists.flagsFrame(pages).limit(Exists.ProbeRows)
+    // every column crossing the limit (and its single-partition
+    // exchange) is a boolean — payloads are consumed by the projection
+    // below it
+    assert(probe.queryExecution.analyzed.output.forall(_.dataType == BooleanType),
+      probe.queryExecution.analyzed.output.map(a => s"${a.name}:${a.dataType}").mkString(", "))
+    assert(probe.queryExecution.executedPlan.toString.contains("Limit"))
+  }
+
   test("knn brute plan broadcasts the query side") {
     val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
     val p = plan(graft.sim.Similarity.knnBrute(v, v.where(col("vec_id") < 5)))

@@ -38,7 +38,7 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (day, v) => assert(v == batch(day), s"day $day") }
   }
 
-  test("streamed referential family (broadcast dims in-stream) equals batch") {
+  test("streamed referential + text families (broadcast dims in-stream) equal batch") {
     val dir = Files.createTempDirectory("metricsspark_stream_ref").toString
     val pages = PageSynth.pages(spark, TestSpark.sf0001)
     pages.repartition(6).write.mode("overwrite").parquet(dir)
@@ -48,35 +48,40 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
+    // streamed final state per (day, family): counts are monotone under
+    // update mode, so max is the converged value
+    val famCols = Seq("ref_host_dim", "ref_lang_dim",
+      graft.model.CheckId.DeclaredVsDerivedLang, graft.model.CheckId.TextQuality)
     val streamed = spark.table("stream_ref")
       .groupBy(col("pday"))
-      .agg(
-        max(col("ref_host_dim__n_rows")).as("hn"), max(col("ref_host_dim__bad")).as("hb"),
-        max(col("ref_lang_dim__n_rows")).as("ln"), max(col("ref_lang_dim__bad")).as("lb"))
+      .agg(max(col(s"${famCols.head}__n_rows")).as(s"${famCols.head}__n"),
+        (famCols.tail.flatMap(c => Seq(max(col(s"${c}__n_rows")).as(s"${c}__n"))) ++
+          famCols.map(c => max(col(s"${c}__bad")).as(s"${c}__b"))): _*)
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => r.getString(0) ->
+        famCols.map(c => c -> (r.getAs[Long](s"${c}__n"), r.getAs[Long](s"${c}__b"))).toMap)
       .toMap
 
-    def batchOf(checkId: String) = {
-      val joined = pages.where(col("warc_ts").isNotNull)
-        .withColumn("host", graft.checks.Referential.hostExpr)
-        .join(broadcast(PageSynth.hostDim(spark).withColumn("host_known", lit(true))), Seq("host"), "left")
-        .join(broadcast(PageSynth.langDim(spark).withColumn("lang_known", lit(true))), Seq("lang"), "left")
-      graft.checks.FusedChecks.resultsByDay(joined,
-          graft.checks.Conformance.preds ++ graft.runtime.CheckSuite.refPreds)
-        .where(col("check_id") === checkId)
-        .collect()
-        .map(r => r.getString(1) -> (r.getAs[Long]("n_rows"), r.getAs[Long]("violations")))
-        .toMap
-    }
-    val bh = batchOf("ref_host_dim"); val bl = batchOf("ref_lang_dim")
-    assert(streamed.keySet == bh.keySet)
-    streamed.foreach { case (day, (hn, hb, ln, lb)) =>
-      assert((hn, hb) == bh(day), s"host family, day $day")
-      assert((ln, lb) == bl(day), s"lang family, day $day")
-    }
-    // the referential violation count is non-trivial on the fixture
-    assert(streamed.values.map(_._2).sum > 0)
+    // batch twin: same derived columns, same dim joins, same pred bank
+    val joined = graft.text.TextOps.withDerived(pages.where(col("warc_ts").isNotNull))
+      .withColumn("host", graft.checks.Referential.hostExpr)
+      .join(broadcast(PageSynth.hostDim(spark).withColumn("host_known", lit(true))), Seq("host"), "left")
+      .join(broadcast(PageSynth.langDim(spark).withColumn("lang_known", lit(true))), Seq("lang"), "left")
+    val batchRows = graft.checks.FusedChecks.resultsByDay(joined,
+        graft.checks.Conformance.preds ++ graft.runtime.CheckSuite.refPreds ++
+          graft.text.TextOps.preds)
+      .where(col("check_id").isin(famCols: _*))
+      .collect()
+      .map(r => (r.getString(1), r.getString(0)) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("violations")))
+      .toMap
+
+    assert(streamed.keySet == batchRows.keySet.map(_._1))
+    for ((day, fams) <- streamed; (fam, v) <- fams)
+      assert(v == batchRows((day, fam)), s"family $fam, day $day")
+    // referential + declared-vs-derived violations are non-trivial on the fixture
+    assert(streamed.values.map(_("ref_host_dim")._2).sum > 0)
+    assert(streamed.values.map(_(graft.model.CheckId.DeclaredVsDerivedLang)._2).sum > 0)
   }
 
   test("multimodal feature extraction is deterministic and shuffle-free") {
