@@ -37,6 +37,23 @@ object DedupProfile {
       .agg(sum(pmod(col("sh"), lit(1000003L)))).collect()(0))
     t("simhashPairs")(Dedup.simhashPairs(pages).count())
     t("clusters")(Dedup.clusters(pages).count())
+    // clusterLabels stage split
+    val g2 = Dedup.corpusGroups(pages)
+      .select(col("fp"), col("rep"), col("n_docs"), Dedup.hashedShingles(col("norm")).as("hs"))
+    var g2c: org.apache.spark.sql.DataFrame = null
+    t("cl.groupsCheckpoint") { g2c = g2.localCheckpoint(true); g2c.count() }
+    var pc: Dedup.PairsCounted = null
+    t("cl.pairsFromHashed") { pc = Dedup.minhashPairsFromHashed(g2c); pc.pairs.count() }
+    var lbl: org.apache.spark.sql.DataFrame = null
+    t("cl.components") {
+      lbl = graft.dedup.Components.labels(pc.pairs.select(col("url_a"), col("url_b")))
+      lbl.count()
+    }
+    t("cl.singletons+final") {
+      val dupReps = g2c.where(col("n_docs") > 1).select(col("rep").as("node"))
+        .except(lbl.select("node")).withColumn("label", col("node"))
+      lbl.select("node", "label").union(dupReps).localCheckpoint(true).count()
+    }
     val mp = Dedup.minhashPairs(pages)
     mp.count()
     val plan = mp.queryExecution.executedPlan.toString

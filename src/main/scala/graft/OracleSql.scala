@@ -542,6 +542,30 @@ object OracleSql {
        |GROUP BY l.cluster_rep ORDER BY cluster_rep""".stripMargin
   }
 
+  // ——— graph / interlinking oracles (MapDBGraph analog) ———
+
+  /** Mirrors Interlinking.sameAsEdges: content-identity star edges. */
+  val graphSameAsEdges: String =
+    s"""$cte, d0 AS (SELECT url, md5($normDuckExpr) AS fp FROM pages
+       |  WHERE text IS NOT NULL AND length($normDuckExpr) > 0),
+       |r AS (SELECT fp, min(url) AS same_as FROM d0 GROUP BY fp HAVING count(*) > 1)
+       |SELECT DISTINCT d0.url, r.same_as FROM d0 JOIN r ON d0.fp = r.fp
+       |WHERE d0.url <> r.same_as ORDER BY url, same_as""".stripMargin
+
+  /** Mirrors Interlinking.hostNeighbors: shared-content host adjacency
+    * with the same hosts-per-fingerprint cap.
+    */
+  val graphHostNeighbors: String =
+    s"""$cte, fh AS (SELECT DISTINCT md5($normDuckExpr) AS fp, $hostExpr AS host FROM pages
+       |  WHERE text IS NOT NULL AND length($normDuckExpr) > 0 AND $hostExpr <> ''),
+       |keep AS (SELECT fp FROM fh GROUP BY fp HAVING count(*) <= ${graft.graph.Interlinking.MaxHostsPerFp}),
+       |k AS (SELECT fh.fp, fh.host FROM fh JOIN keep ON fh.fp = keep.fp),
+       |e AS (SELECT DISTINCT a.host AS host, b.host AS nbr
+       |      FROM k a JOIN k b ON a.fp = b.fp AND a.host <> b.host)
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_neighbors,
+       |  string_agg(nbr, ',' ORDER BY nbr) AS neighbors
+       |FROM e GROUP BY host ORDER BY host""".stripMargin
+
   val textFingerprintGroups: String =
     s"""$cte SELECT fp, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url FROM (
        | SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp, url
@@ -967,6 +991,8 @@ object OracleSql {
     "sample_stratified_equal_rows" -> sampleStratifiedEqualRows,
     "est_declared_vs_derived" -> estDeclaredVsDerived,
     "est_declared_vs_derived_stratified" -> estDeclaredVsDerivedStratified,
+    "graph_sameas_edges" -> graphSameAsEdges,
+    "graph_host_neighbors" -> graphHostNeighbors,
     "prov_host_flags" -> provHostFlags,
     "prov_verdict" -> provVerdict,
     "dedup_cluster_sizes" -> dedupClusterSizes,

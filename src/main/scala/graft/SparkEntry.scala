@@ -142,6 +142,10 @@ object SparkEntry {
     }),
     "emb_near_dup" -> ((s, dir) =>
       graft.sim.Similarity.nearDupPairs(graft.synth.EmbSynth.vectors(s, dir))),
+    // graph / interlinking analysis (MapDBGraph sameAs + degree/neighbor
+    // query analog): content-identity star edges + host adjacency
+    "graph_sameas_edges" -> ((s, dir) => graft.graph.Interlinking.sameAsEdges(pages(s, dir))),
+    "graph_host_neighbors" -> ((s, dir) => graft.graph.Interlinking.hostNeighbors(pages(s, dir))),
     // whole-pipeline: write Iceberg-shaped table + full resumable suite
     "suite_verdicts" -> ((s, dir) => graft.runtime.SuiteRunner.verdicts(s, dir)),
     // skew-safe two-phase (salted) host aggregation; oracle = unsalted SQL

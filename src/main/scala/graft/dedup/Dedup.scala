@@ -247,12 +247,25 @@ object Dedup {
     // cache the two compact intermediates explicitly (Spark ML's LSH
     // does the same): `sh` is distinct-text scale (rep + ~200 ints),
     // `bands` is keys-only; MEMORY_AND_DISK spills rather than OOMs.
-    val sh = hashed.select(col("rep"), col("n_docs"), col("hs"))
+    // The signature is materialized INTO the persisted side: bandKeys
+    // references the signature array 96× (24 bands × 4 slice reads),
+    // and expression-tree duplication means a non-materialized
+    // signature(hs) subtree re-evaluates per reference wherever
+    // codegen's subexpression elimination doesn't reach — measured as a
+    // 10 s single-partition band materialization at sf0.1 (~40× the
+    // one-pass cost). As an attribute it is computed exactly once per
+    // row, during the (tiny, compact) persist build.
+    val sh = hashed
+      .select(col("rep"), col("n_docs"), col("hs"), signature(col("hs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band join: keys only, no arrays
-    val bandsAll = sh.select(col("rep"), explode(bandKeys(signature(col("hs")))).as("b"))
+    // band join: keys only, no arrays. Row-format localCheckpoint, NOT
+    // persist — the columnar cache build of the two string columns runs
+    // at ~10k rows/s/core (round-2 lesson #6) and inherits the input's
+    // partitioning; checkpoint blocks are O(data) to write and
+    // ContextCleaner-freed once unreferenced.
+    val bandsAll = sh.select(col("rep"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("rep"), col("b.band_id"), col("b.band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val (bands, capped) = capBucketsCounted(bandsAll, Seq("band_id", "band_hash"), "minhash", maxBucket)
     val cand = bands.select(col("rep").as("rep_a"), col("band_id"), col("band_hash"))
       .join(bands.select(col("rep").as("rep_b"), col("band_id"), col("band_hash")),
@@ -269,7 +282,6 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .localCheckpoint(true)
     sh.unpersist()
-    bandsAll.unpersist()
     PairsCounted(verified.orderBy("url_a", "url_b"), capped)
   }
 
@@ -316,7 +328,7 @@ object Dedup {
             .bitwiseAND(lit((1L << ChunkBits) - 1)).as("chunk_val"))
       }: _*)).as("c"))
       .select(col("rep"), col("sh64"), col("n_docs"), col("c.chunk_id"), col("c.chunk_val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // row-format, not the slow columnar cache (see minhashPairsFromHashed)
     val chunks = capBuckets(chunksAll, Seq("chunk_id", "chunk_val"), "simhash", maxBucket)
     val l = chunks.select(col("rep").as("url_a"), col("sh64").as("h_a"),
       col("n_docs").as("n_docs_a"), col("chunk_id"), col("chunk_val"))
@@ -330,7 +342,6 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
       .localCheckpoint(true)
-    chunksAll.unpersist()
     verified.orderBy("url_a", "url_b")
   }
 
