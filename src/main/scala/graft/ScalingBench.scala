@@ -116,17 +116,25 @@ object ScalingBench {
       // machine ceiling from tools/spin_calibrate.py (pure-CPU spin at
       // the same pinned levels): the engine cannot scale better than
       // the host backs its vCPUs
-      val ceiling = {
+      def ceilingOf(key: String): Option[Double] = {
         val p = Paths.get("BENCH/spin_ceiling.json")
-        if (Files.exists(p)) {
-          val t = Files.readString(p)
-          s""""ceiling_${n}_to_$n4":\\s*([0-9.]+)""".r.findFirstMatchIn(t).map(_.group(1).toDouble)
-        } else None
+        if (Files.exists(p))
+          s""""$key":\\s*([0-9.]+)""".r
+            .findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
+        else None
       }
+      val ceiling = ceilingOf(s"ceiling_${n}_to_$n4")
+      val ceilingSingle = ceilingOf(s"best_single_window_ceiling_${n}_to_$n4")
       val ceilingLine = ceiling.map(c =>
         f"\n**Machine ceiling at the same levels** (pure-CPU spin, zero shared state — " +
-        f"tools/spin_calibrate.py): **$c%.3f**. Engine efficiency relative to what the " +
-        f"host actually backs: **${eff / c}%.3f**.\n").getOrElse("")
+        f"tools/spin_calibrate.py): merged per-level-best **$c%.3f**" +
+        ceilingSingle.map(b => f"; best single-window (one real host operating " +
+          f"point, all levels in one pass) **$b%.3f**").getOrElse("") +
+        f". The headline relative figure uses the merged ceiling (an upper envelope — " +
+        f"conservative for the engine claim). Engine efficiency relative to what the " +
+        f"host actually backs: **${eff / c}%.3f**" +
+        ceilingSingle.map(b => f" (vs single-window: **${eff / b}%.3f**)").getOrElse("") +
+        ".\n").getOrElse("")
       // secondary pair (transparency): 8→32 where the host itself stops
       // backing its vCPUs (SMT beyond 16 physical cores)
       val secondary = {
@@ -134,15 +142,11 @@ object ScalingBench {
         if (n == "4" && n4 == "16" && Files.exists(p8) && Files.exists(p32)) {
           val (t8, _) = read("8"); val (t32, _) = read("32")
           val eff2 = (t8 / t32) / 4.0
-          val c2 = {
-            val p = Paths.get("BENCH/spin_ceiling.json")
-            if (Files.exists(p))
-              """"ceiling_8_to_32":\s*([0-9.]+)""".r
-                .findFirstMatchIn(Files.readString(p)).map(_.group(1).toDouble)
-            else None
-          }
+          val c2 = ceilingOf("ceiling_8_to_32")
+          val c2s = ceilingOf("best_single_window_ceiling_8_to_32")
           f"\n**Secondary pair 8→32** (transparency): T_8 = $t8%.2f s, T_32 = $t32%.2f s → " +
             f"efficiency **$eff2%.3f**" +
+            c2s.map(c => f" (single-window ceiling **$c%.3f**)").getOrElse("") +
             c2.map(c => f" against a register-compute ceiling of **$c%.3f** at the same " +
               f"levels (relative: **${eff2 / c}%.3f**); the binding shared resource past " +
               f"~8-16 workers is memory bandwidth — see BENCH/stream_ceiling.json, where " +

@@ -26,10 +26,10 @@ object SparkEntry {
     * retained.
     */
   private val dedupLabelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
-  private def sharedClusterLabels(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.dedup.Dedup.LabelsResult]()
+  private def sharedClusterLabels(s: SparkSession, dir: String): graft.dedup.Dedup.LabelsResult =
     dedupLabelCache.computeIfAbsent((s, dir),
-      _ => graft.dedup.Dedup.clusterLabels(pages(s, dir)))
+      _ => graft.dedup.Dedup.clusterLabelsCounted(pages(s, dir)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -121,15 +121,15 @@ object SparkEntry {
     "text_fingerprint_groups" -> ((s, dir) => graft.text.TextOps.fingerprintGroups(pages(s, dir))),
     // near-duplicate detection (LSH over collapsed distinct-text
     // groups; full DuckDB value oracles — both engines hash via md5)
-    "dedup_minhash_pairs" -> ((s, dir) => graft.dedup.Dedup.minhashPairs(pages(s, dir))),
+    "dedup_minhash_pairs" -> ((s, dir) => sharedClusterLabels(s, dir).pairs),
     "dedup_simhash_pairs" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(pages(s, dir))),
     "dedup_clusters" -> ((s, dir) => {
-      val (g, l) = sharedClusterLabels(s, dir)
-      graft.dedup.Dedup.clustersFrom(pages(s, dir), g, l)
+      val r = sharedClusterLabels(s, dir)
+      graft.dedup.Dedup.clustersFrom(pages(s, dir), r.groups, r.labels)
     }),
     "dedup_cluster_sizes" -> ((s, dir) => {
-      val (g, l) = sharedClusterLabels(s, dir)
-      graft.dedup.Dedup.clusterSizesFrom(g, l)
+      val r = sharedClusterLabels(s, dir)
+      graft.dedup.Dedup.clusterSizesFrom(r.groups, r.labels)
     }),
     // similarity search over embeddings (+ injected near-dup copies)
     "knn_brute" -> ((s, dir) => {

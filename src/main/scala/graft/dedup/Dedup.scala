@@ -372,10 +372,13 @@ object Dedup {
   /** Materialized cluster-formation frames: `groups` the compact
     * distinct-text frame (fp, rep, n_docs, hs — hashed shingles, no raw
     * text), `labels` the (node, label) map over every clustered rep,
+    * `pairs` the verified minhash pair list (the ordered
+    * [[minhashPairs]] output — callers needing both the pairs and the
+    * clusters reuse it instead of re-running the LSH pipeline), and
     * `cappedBuckets` the LSH drop count (0 = full recall).
     */
   final case class LabelsResult(groups: DataFrame, labels: DataFrame,
-      cappedBuckets: Long)
+      pairs: DataFrame, cappedBuckets: Long)
 
   /** Connected-component labels over the verified near-dup pair graph,
     * plus exact-dup groups with no near-dup edge as singleton clusters.
@@ -404,7 +407,7 @@ object Dedup {
       .except(labels.select("node"))
       .withColumn("label", col("node"))
     val allLabels = labels.select("node", "label").union(dupReps).localCheckpoint(true)
-    LabelsResult(groups, allLabels, pc.cappedBuckets)
+    LabelsResult(groups, allLabels, pc.pairs, pc.cappedBuckets)
   }
 
   /** Binary-compatible view of [[clusterLabelsCounted]]. */

@@ -9,12 +9,23 @@ BASELINE.md reports this ceiling next to the engine numbers.
 
 Method: at each level n, pin n worker processes to cpus 0..n-1 (the same
 taskset pinning the bench uses) and have each run an identical
-fixed-size integer loop. throughput(n) = n*work/wall; the N->4N ceiling
-is throughput(4N) / (4 * throughput(N)).
+fixed-size integer loop. throughput(n) = n*work/wall.
+
+The host's vCPU backing fluctuates ~3x between measurement windows, so
+ceilings are published two ways:
+ - per-level BEST across windows (the merged ceiling; can exceed 1.0
+   because the levels may come from different windows — it is an upper
+   envelope, not a real operating point);
+ - the best SINGLE window (all levels measured in one pass, highest
+   aggregate throughput) — a real operating point the host actually
+   exhibited. Headline relative-efficiency figures in BENCH/BASELINE.md
+   use the merged ceiling (conservative for the engine claim) and cite
+   the single-window one next to it.
 """
 import json, os, subprocess, sys, time
 
 WORK = 40_000_000
+WINDOWS = int(os.environ.get("SPIN_WINDOWS", "5"))
 
 def spin_child():
     t0 = time.time()
@@ -35,19 +46,42 @@ def run_level(n):
     wall = time.time() - t0
     return n * WORK / wall
 
+def ceilings(thr, levels):
+    out = {}
+    for n in levels:
+        if n * 4 in thr and thr.get(n):
+            out[f"ceiling_{n}_to_{n*4}"] = round(thr[n * 4] / (4 * thr[n]), 4)
+    return out
+
 if __name__ == "__main__":
     if "--child" in sys.argv:
         spin_child()
         sys.exit(0)
     levels = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
-    thr = {}
-    for n in levels:
-        thr[n] = run_level(n)
-        print(f"level {n}: {thr[n]:.3e} ops/sec", flush=True)
-    out = {"throughput": thr}
-    for n in levels:
-        if n * 4 in thr:
-            out[f"ceiling_{n}_to_{n*4}"] = round(thr[n * 4] / (4 * thr[n]), 4)
-    print(json.dumps(out))
+    windows = []  # one {level: throughput} dict per window
+    for w in range(WINDOWS):
+        thr = {}
+        for n in levels:
+            thr[n] = run_level(n)
+        windows.append(thr)
+        print(f"window {w}: " +
+              ", ".join(f"{n}:{thr[n]:.3e}" for n in levels), flush=True)
+    best = {n: max(w[n] for w in windows) for n in levels}
+    # best single window = highest aggregate throughput (a real operating
+    # point: every level measured back-to-back in one host window)
+    best_w = max(range(len(windows)), key=lambda i: sum(windows[i].values()))
+    out = {
+        "throughput_best_window": best,
+        "windows": WINDOWS,
+        "per_window_throughput": [{str(n): w[n] for n in levels} for w in windows],
+        "note": ("merged ceilings use per-level BEST across windows (upper "
+                 "envelope, may exceed 1.0); best_single_window_* is one real "
+                 "host operating point (window with max aggregate throughput)"),
+        "best_single_window_index": best_w,
+    }
+    out.update(ceilings(best, levels))
+    out.update({f"best_single_window_{k}": v
+                for k, v in ceilings(windows[best_w], levels).items()})
+    print(json.dumps({k: v for k, v in out.items() if k != "per_window_throughput"}))
     with open("BENCH/spin_ceiling.json", "w") as f:
         json.dump(out, f, indent=1)
