@@ -37,7 +37,19 @@ object OracleSql {
       "cast(warc_epoch as varchar)", 0.99),
     ("conform_url_style", "ParametarisedURI",
       s"url IS NOT NULL AND regexp_matches(url, '${Conformance.UrlRegex}')",
-      s"length(url) > ${Conformance.MaxUrlLen} OR strpos(url, '?') > 0", "url", 0.99)
+      s"length(url) > ${Conformance.MaxUrlLen} OR strpos(url, '?') > 0", "url", 0.99),
+    ("prolix_text", "ProlixConstruct",
+      "text IS NOT NULL AND length(text) > 0",
+      s"strpos(text, '${Conformance.ProlixPhrase}') > 0 OR regexp_matches(text, '${Conformance.ProlixRunRegex}')",
+      "'prolix boilerplate construct'", 0.9),
+    ("misused_shape.literal", "MisusedDatatypeProperty",
+      "text IS NOT NULL AND length(text) > 0",
+      s"regexp_matches(text, '${Conformance.MarkupRegex}')",
+      "'markup in literal position'", 0.99),
+    ("misused_shape.resource", "MisusedObjectProperty",
+      "url IS NOT NULL",
+      s"NOT regexp_matches(url, '${Conformance.SchemeRegex}')",
+      "url", 0.99)
   )
 
   val pagesDump: String =
@@ -319,11 +331,18 @@ object OracleSql {
        |      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
-  /** substr-based text extraction from decoded html; must mirror
-    * graft.multimodal.Multimodal.extractText exactly.
+  /** substr-based text extraction from decoded html; derived from the
+    * same template constants as graft.multimodal.Multimodal.extractText
+    * (lockstep by construction).
     */
+  private val mmPrefixLen = graft.multimodal.Multimodal.PrefixLen
+  private val mmStripLen = mmPrefixLen + graft.multimodal.Multimodal.Suffix.length
   private val extractTextDuck =
-    "substr(decode(html), 31, greatest(0, length(decode(html)) - 48))"
+    s"substr(decode(html), ${mmPrefixLen + 1}, greatest(0, length(decode(html)) - $mmStripLen))"
+
+  /** Fixed-offset license extraction; mirrors Multimodal.licenseOf. */
+  private val licenseDuck =
+    s"substr(decode(html), ${graft.multimodal.Multimodal.LicenseOffset + 1}, 10)"
 
   val mmHtmlMeta: String =
     s"""$cte SELECT pday, CAST(count(*) AS BIGINT) AS n_pages,
@@ -754,6 +773,190 @@ object OracleSql {
        |  array_to_string(lang_list, ',') AS langs
        |FROM ent WHERE latin AND cjk ORDER BY url""".stripMargin
 
+  // ——— vocabulary-dimension oracles (#13/#14/#18/#24) ———
+
+  private val validLangDuck =
+    s"lang IS NOT NULL AND regexp_matches(lang, '${Conformance.LangRegex}')"
+  private val depDuck = graft.checks.Vocabulary.deprecatedDimDuck
+  private val sugDuck = graft.checks.Vocabulary.suggestedDimDuck
+
+  /** Mirrors Vocabulary.deprecatedByDay (#14): deprecated-dim usage
+    * ratio among syntactically valid declared tags.
+    */
+  val deprecatedTerms: String =
+    s"""$cte, dep AS ($depDuck)
+       |SELECT pday, n_rows, violations, value, value >= 0.8 AS pass FROM (
+       |  SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN dep.lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |    1.0 - CAST(sum(CASE WHEN dep.lang IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+       |  FROM (SELECT pday, lang FROM pages WHERE $validLangDuck) p
+       |  LEFT JOIN dep ON p.lang = dep.lang GROUP BY pday) t
+       |ORDER BY pday""".stripMargin
+
+  /** Mirrors Vocabulary.deprecatedUsages: grouped problem listing. */
+  val deprecatedUsages: String =
+    s"""$cte, dep AS ($depDuck)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url
+       |FROM pages p WHERE $validLangDuck
+       |  AND EXISTS (SELECT 1 FROM dep WHERE dep.lang = p.lang)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val usedTermsCte =
+    s"used AS (SELECT DISTINCT lang FROM pages WHERE $validLangDuck)"
+
+  private val sugList =
+    graft.checks.Vocabulary.SuggestedLangs.map(l => s"'$l'").mkString(", ")
+
+  /** Mirrors Vocabulary.reuseTerms (#18). */
+  val reuseTerms: String =
+    s"""$cte, $usedTermsCte
+       |SELECT n_used, n_overlap, violations, value, value >= 0.4 AS pass FROM (
+       |  SELECT n_used, n_overlap, n_used - n_overlap AS violations,
+       |    CAST(n_overlap AS DOUBLE) / CAST(n_used AS DOUBLE) AS value
+       |  FROM (
+       |    SELECT CAST(count(*) AS BIGINT) AS n_used,
+       |      CAST(sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |    FROM used) a) b""".stripMargin
+
+  /** Mirrors Vocabulary.unusedSuggested: the #18 problem bag. */
+  val reuseUnusedSuggested: String =
+    s"""$cte, $usedTermsCte, sug AS ($sugDuck)
+       |SELECT sug.lang FROM sug
+       |WHERE NOT EXISTS (SELECT 1 FROM used WHERE used.lang = sug.lang)
+       |ORDER BY sug.lang""".stripMargin
+
+  /** Mirrors Vocabulary.vocabUsage (#24). */
+  val vocabUsage: String =
+    s"""$cte, $usedTermsCte, decl AS (${PageSynth.langDimDuck})
+       |SELECT n_used, n_declared, n_overlap, value, value >= 0.8 AS pass FROM (
+       |  SELECT n_used, n_declared, n_overlap,
+       |    CAST(n_overlap AS DOUBLE) / CAST(n_used AS DOUBLE) AS value
+       |  FROM (
+       |    SELECT CAST(count(*) AS BIGINT) AS n_used,
+       |      (SELECT CAST(count(*) AS BIGINT) FROM decl) AS n_declared,
+       |      CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |    FROM used) a) b""".stripMargin
+
+  /** #11 misplaced-term flag expressions over a pages-shaped relation
+    * (the host/lang dims are the two term-kind vocabularies).
+    */
+  private def langIsHostTerm(rel: String): String =
+    s"EXISTS (SELECT 1 FROM (${PageSynth.hostDimDuck}) thd WHERE thd.host = $rel.lang)"
+  private def hostIsLangTerm(rel: String): String =
+    s"EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) tld WHERE tld.lang = $hostExpr)"
+
+  /** Mirrors Vocabulary.misplacedByDay (#11). */
+  val misplacedTerms: String =
+    s"""$cte
+       |SELECT pday, n_rows, violations, value, value >= 0.99 AS pass FROM (
+       |  SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN ${langIsHostTerm("pages")} OR ${hostIsLangTerm("pages")} THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |    1.0 - CAST(sum(CASE WHEN ${langIsHostTerm("pages")} OR ${hostIsLangTerm("pages")} THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+       |  FROM pages WHERE lang IS NOT NULL OR $hostExpr <> ''
+       |  GROUP BY pday) t
+       |ORDER BY pday""".stripMargin
+
+  /** Mirrors Vocabulary.misplacedUsages: grouped problem listing. */
+  val misplacedUsages: String =
+    s"""$cte
+       |SELECT * FROM (
+       |  SELECT 'lang' AS position, lang AS term, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url
+       |  FROM pages WHERE ${langIsHostTerm("pages")} GROUP BY lang
+       |  UNION ALL
+       |  SELECT 'host' AS position, $hostExpr AS term, CAST(count(*) AS BIGINT) AS n_rows, min(url) AS min_url
+       |  FROM pages WHERE ${hostIsLangTerm("pages")} GROUP BY $hostExpr) u
+       |ORDER BY position, term""".stripMargin
+
+  // ——— #20 serialisation-format registry oracles ———
+
+  private val fmtDuck = graft.checks.Formats.formatDimDuck
+  private val extDuck = s"regexp_extract(url, '${graft.checks.Formats.ExtRegex}', 1)"
+
+  private val fmtMatchedCte =
+    s""", fmatch AS (
+       |  SELECT f.format FROM (
+       |    SELECT $extDuck AS ext FROM pages WHERE url IS NOT NULL) e
+       |  JOIN ($fmtDuck) f ON e.ext = f.ext AND e.ext <> '')""".stripMargin
+
+  /** Mirrors Formats.formatCounts. */
+  val serialFormats: String =
+    s"""$cte$fmtMatchedCte
+       |SELECT format, CAST(count(*) AS BIGINT) AS n_rows FROM fmatch
+       |GROUP BY format ORDER BY format""".stripMargin
+
+  /** Mirrors Formats.formatsCount (the reference's Integer value). */
+  val serialFormatsCount: String =
+    s"""$cte$fmtMatchedCte
+       |SELECT CAST(count(DISTINCT format) AS BIGINT) AS n_formats,
+       | CAST(count(*) AS BIGINT) AS n_rows FROM fmatch""".stripMargin
+
+  // ——— #37 licensing oracles ———
+
+  private val humanHitDuck: String =
+    graft.checks.Licensing.HumanBank
+      .map(w => s"strpos(text, '$w') > 0").mkString("(", " OR ", ")")
+
+  private val licFlagsCte: String =
+    s"""lflags AS (
+       | SELECT $hostExpr AS host, CAST(count(*) AS BIGINT) AS n_rows,
+       |   CAST(max(CASE WHEN html IS NOT NULL AND $licenseDuck <> '${PageSynth.NoLicense}' THEN 1 ELSE 0 END) AS BIGINT) AS has_machine,
+       |   CAST(max(CASE WHEN text IS NOT NULL AND $humanHitDuck THEN 1 ELSE 0 END) AS BIGINT) AS has_human
+       | FROM pages WHERE $hostExpr <> '' GROUP BY 1)""".stripMargin
+
+  /** Mirrors Licensing.hostFlags. */
+  val licenseHostFlags: String =
+    s"""$cte, $licFlagsCte
+       |SELECT host, n_rows, has_machine, has_human FROM lflags ORDER BY host""".stripMargin
+
+  /** Mirrors Licensing.verdict. */
+  val licenseVerdict: String =
+    s"""$cte, $licFlagsCte
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       | 1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+       | (1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.5 AS pass
+       |FROM lflags""".stripMargin
+
+  /** Mirrors Licensing.models (copyleft classifier). */
+  val licenseModels: String =
+    s"""$cte
+       |SELECT license, CAST(count(*) AS BIGINT) AS n_pages,
+       | regexp_matches(license, '${graft.checks.Licensing.CopyleftRegex}') AS copyleft
+       |FROM (SELECT $licenseDuck AS license FROM pages WHERE html IS NOT NULL) t
+       |GROUP BY license ORDER BY license""".stripMargin
+
+  /** Hijack base relations (#13): definition pages, cross-host groups
+    * with their authoritative representative, per-page hijack flags.
+    * Mirrors Hijack.flags.
+    */
+  private val hijackCte: String =
+    s""", hd0 AS (SELECT url, $hostExpr AS host, md5($normDuckExpr) AS fp FROM pages
+       |  WHERE text IS NOT NULL AND length($normDuckExpr) > 0 AND $hostExpr <> ''),
+       |hg AS (SELECT fp, min(url) AS rep, count(DISTINCT host) AS nh FROM hd0 GROUP BY fp),
+       |hg2 AS (SELECT fp, rep, regexp_extract(rep, '$hostRe', 1) AS rep_host FROM hg WHERE nh > 1),
+       |hg3 AS (SELECT hg2.*,
+       |  EXISTS(SELECT 1 FROM (${PageSynth.hostDimDuck}) hdim WHERE hdim.host = hg2.rep_host) AS rep_known
+       |  FROM hg2),
+       |hf AS (SELECT hd0.url, hd0.host, hg3.rep, hg3.rep_host,
+       |  (hd0.host <> hg3.rep_host AND hg3.rep_known) AS is_hijack
+       |  FROM hd0 JOIN hg3 ON hd0.fp = hg3.fp)""".stripMargin
+
+  /** Mirrors Hijack.verdict (#13): value = |1 − hijacks/possible|. */
+  val hijackVerdict: String =
+    s"""$cte$hijackCte
+       |SELECT n_rows, violations, value, value >= 0.5 AS pass FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CASE WHEN is_hijack THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+       |    CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE abs(1.0 - CAST(sum(CASE WHEN is_hijack THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) END AS value
+       |  FROM hf) t""".stripMargin
+
+  /** Mirrors Hijack.hijackPages: the problem listing. */
+  val hijackPages: String =
+    s"""$cte$hijackCte
+       |SELECT url, host, rep, rep_host FROM hf WHERE is_hijack
+       |ORDER BY url, rep""".stripMargin
+
   val multiLangUsage: String =
     s"""$cte SELECT n_langs, CAST(count(*) AS BIGINT) AS n_urls FROM (
        |  SELECT url, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
@@ -774,13 +977,19 @@ object OracleSql {
          |FROM (SELECT *, $scoreCols FROM pages) s1)""".stripMargin
     val qExpr =
       """least(n_tok_d / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4 + (CASE WHEN n_tok_d > 0 AND (n_chars_d - (n_tok_d - 1)) / n_tok_d >= CAST(3.0 AS DOUBLE) AND (n_chars_d - (n_tok_d - 1)) / n_tok_d <= CAST(10.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3 + least(CAST(s_en AS DOUBLE) / CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.3"""
+    val depList = graft.checks.Vocabulary.DeprecatedLangs.map(l => s"'$l'").mkString(", ")
     val suitePredsDuck = predsDuck ++ Seq(
       (graft.model.CheckId.DeclaredVsDerivedLang, "MisreportedLanguage",
         s"text IS NOT NULL AND length(text) > 0 AND $detectedDuck <> 'und' AND lang IS NOT NULL",
         s"lang <> $detectedDuck", "lang", 0.5),
       (graft.model.CheckId.TextQuality, "LowQualityText",
         "text IS NOT NULL AND length(text) > 0",
-        s"($qExpr) < 0.5", "'quality'", 0.8))
+        s"($qExpr) < 0.5", "'quality'", 0.8),
+      (graft.model.CheckId.DeprecatedTerms, "UsageOfDeprecatedTerm",
+        validLangDuck, s"lang IN ($depList)", "lang", 0.8),
+      (graft.model.CheckId.MisplacedTerms, "MisplacedClass",
+        s"lang IS NOT NULL OR $hostExpr <> ''",
+        s"${langIsHostTerm("ps")} OR ${hostIsLangTerm("ps")}", "lang", 0.99))
     val fusedPart = {
       val parts = suitePredsDuck.map { case (id, _, app, bad, _, thr) =>
         s"""SELECT '$id' AS check_id, pday,
@@ -915,12 +1124,49 @@ object OracleSql {
          | FROM (SELECT
          |   (SELECT CAST(count(*) AS BIGINT) FROM vecs) AS n_rows,
          |   (SELECT CAST(count(*) - count(DISTINCT lab) AS BIGINT) FROM emblab) AS violations) t) u""".stripMargin
+    // #18/#24 whole-table verdicts over the shared used-terms set
+    val reusePart =
+      s"""SELECT 'reuse_terms' AS check_id, '*' AS pday,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(count(*) - sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         | CAST(sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+         | (CAST(sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.4 AS pass
+         |FROM used""".stripMargin
+    val vocabPart =
+      s"""SELECT 'vocab_usage' AS check_id, '*' AS pday,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(count(*) - sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+         | (CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.8 AS pass
+         |FROM used""".stripMargin
+    val hijackPart =
+      s"""SELECT 'hijack_content' AS check_id, '*' AS pday, n_rows, violations, value, value >= 0.5 AS pass FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(CASE WHEN is_hijack THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+         |    CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE abs(1.0 - CAST(sum(CASE WHEN is_hijack THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) END AS value
+         |  FROM hf) t""".stripMargin
+    // #37 license-indication + #20 registry-format whole-table verdicts
+    val licensePart =
+      s"""SELECT 'license_indication' AS check_id, '*' AS pday,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         | 1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
+         | (1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.5 AS pass
+         |FROM lflags""".stripMargin
+    val serialPart =
+      s"""SELECT 'serial_formats' AS check_id, '*' AS pday,
+         | (SELECT CAST(count(*) AS BIGINT) FROM fmatch) AS n_rows,
+         | CAST(0 AS BIGINT) AS violations,
+         | (SELECT CAST(count(DISTINCT format) AS DOUBLE) FROM fmatch) AS value,
+         | (SELECT count(DISTINCT format) >= 1 FROM fmatch) AS pass""".stripMargin
     val parts = Seq(fusedPart, completenessPart, estPart, estDeclaredPart,
       hostPart, langPart, uniqPart, dupTextPart, psiPart, ksPart,
-      disjointPart, provPart, nearDupPart, nearDupEmbPart) ++ existsParts
+      disjointPart, provPart, nearDupPart, nearDupEmbPart,
+      reusePart, vocabPart, hijackPart, licensePart, serialPart) ++ existsParts
     // RECURSIVE for the near-dup connected-component CTEs (reach, embreach)
     val cteRec = cte.replaceFirst("WITH ", "WITH RECURSIVE ")
-    s"""$cteRec, $psCte$completenessBase, $provFlagsBase$dedupGroupsCte$minhashPairsCte,
+    s"""$cteRec, $psCte$completenessBase, $provFlagsBase, $usedTermsCte, $licFlagsCte$fmtMatchedCte$hijackCte$dedupGroupsCte$minhashPairsCte,
        |e0 AS (SELECT url_a, url_b FROM bp WHERE jaccard >= ${graft.dedup.Dedup.JaccardThreshold}),
        |bidir AS (SELECT url_a AS src, url_b AS dst FROM e0 UNION ALL SELECT url_b, url_a FROM e0),
        |nodes AS (SELECT DISTINCT src AS n FROM bidir UNION SELECT rep FROM grp WHERE n_docs > 1),
@@ -999,6 +1245,20 @@ object OracleSql {
     "knn_brute" -> knnBrute,
     "knn_lsh" -> knnLsh,
     "emb_near_dup" -> embNearDup,
+    "deprecated_terms" -> deprecatedTerms,
+    "deprecated_usages" -> deprecatedUsages,
+    "misplaced_terms" -> misplacedTerms,
+    "misplaced_usages" -> misplacedUsages,
+    "serial_formats" -> serialFormats,
+    "serial_formats_count" -> serialFormatsCount,
+    "license_host_flags" -> licenseHostFlags,
+    "license_verdict" -> licenseVerdict,
+    "license_models" -> licenseModels,
+    "reuse_terms" -> reuseTerms,
+    "reuse_unused_suggested" -> reuseUnusedSuggested,
+    "vocab_usage" -> vocabUsage,
+    "hijack_verdict" -> hijackVerdict,
+    "hijack_pages" -> hijackPages,
     "completeness_expected" -> completenessExpected,
     "completeness_missing" -> completenessMissing,
     "exists_checks" -> existsChecks,

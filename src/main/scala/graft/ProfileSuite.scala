@@ -44,6 +44,11 @@ object ProfileSuite {
       .withColumn("host", Referential.hostExpr)
       .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
       .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
+      .join(broadcast(dims.depDim.withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
+      .join(broadcast(dims.hostDim.withColumnRenamed("host", "lang")
+        .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
+      .join(broadcast(dims.langDim.withColumnRenamed("lang", "host")
+        .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
     val allPreds = Conformance.preds ++ CheckSuite.refPreds ++ graft.text.TextOps.preds
     t("warm_count")(pages.count())
     t("perday_fused_agg")(FusedChecks.resultsByDay(joined, allPreds).count())

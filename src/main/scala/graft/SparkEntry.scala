@@ -104,6 +104,37 @@ object SparkEntry {
     // declared-vs-derived, scaled per host
     "est_declared_vs_derived_stratified" -> ((s, dir) =>
       Sampling.estimatedDeclaredVsDerivedStratified(pages(s, dir))),
+    // vocabulary-dimension checks (#14 deprecated, #18 reuse, #24 usage
+    // indication): broadcast dims, tag-cardinality aggregations
+    "deprecated_terms" -> ((s, dir) =>
+      Vocabulary.deprecatedByDay(pages(s, dir), Vocabulary.deprecatedDim(s))),
+    "deprecated_usages" -> ((s, dir) =>
+      Vocabulary.deprecatedUsages(pages(s, dir), Vocabulary.deprecatedDim(s))),
+    "reuse_terms" -> ((s, dir) => Vocabulary.reuseTerms(pages(s, dir))),
+    "reuse_unused_suggested" -> ((s, dir) => Vocabulary.unusedSuggested(pages(s, dir))),
+    "vocab_usage" -> ((s, dir) =>
+      Vocabulary.vocabUsage(pages(s, dir), PageSynth.langDim(s))),
+    // #13 OntologyHijacking analog: cross-host content redefinition vs
+    // the authoritative (representative) PLD
+    "hijack_verdict" -> ((s, dir) =>
+      Hijack.verdict(pages(s, dir), PageSynth.hostDim(s))),
+    "hijack_pages" -> ((s, dir) =>
+      Hijack.hijackPages(pages(s, dir), PageSynth.hostDim(s))),
+    // #11 misplaced terms: known term of the wrong kind in a position
+    "misplaced_terms" -> ((s, dir) =>
+      Vocabulary.misplacedByDay(pages(s, dir), Vocabulary.termDim(s))),
+    "misplaced_usages" -> ((s, dir) =>
+      Vocabulary.misplacedUsages(pages(s, dir), Vocabulary.termDim(s))),
+    // #20 serialisation-format registry counts (Integer metric)
+    "serial_formats" -> ((s, dir) =>
+      Formats.formatCounts(pages(s, dir), Formats.formatDim(s))),
+    "serial_formats_count" -> ((s, dir) =>
+      Formats.formatsCount(pages(s, dir), Formats.formatDim(s))),
+    // #37 licensing banks: machine-readable value + human phrase bank +
+    // copyleft classifier
+    "license_host_flags" -> ((s, dir) => Licensing.hostFlags(pages(s, dir))),
+    "license_verdict" -> ((s, dir) => Licensing.verdict(pages(s, dir))),
+    "license_models" -> ((s, dir) => Licensing.models(pages(s, dir))),
     // per-group provenance flags (#25/#26 groupBy(host).agg(max(flag)))
     "prov_host_flags" -> ((s, dir) => Provenance.hostFlags(pages(s, dir))),
     "prov_verdict" -> ((s, dir) => Provenance.verdict(pages(s, dir))),

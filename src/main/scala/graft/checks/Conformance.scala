@@ -45,6 +45,26 @@ object Conformance {
     */
   val MaxUrlLen = 80
 
+  /** #16 NoProlixRDF analog — the reference flags reification/container/
+    * collection constructs via a fixed URI set + the `rdf:_[0-9]+`
+    * member regex (representational/.../NoProlixRDF.java:46-112). The
+    * page-table constructs: a fixed boilerplate phrase (the URI-set
+    * analog) and a run of container-member-style tokens (the regex
+    * analog). RE2-compatible so rlike and regexp_matches agree.
+    */
+  val ProlixPhrase = "boilerplate cookie consent page"
+  val ProlixRunRegex = "(w[0-9]{3} ){10}"
+
+  /** #12 MisusedOwlDatatypeOrObjectProperties analog — a value whose
+    * SHAPE contradicts its position's declared kind
+    * (I/consistency/MisusedOwlDatatypeOrObjectProperties.java:59-85):
+    * markup (resource-shaped) content in the text (literal) position,
+    * and scheme-less (literal-shaped) values in the url (resource)
+    * position. RE2-compatible.
+    */
+  val MarkupRegex = "<[a-z][^>]*>"
+  val SchemeRegex = "^[a-z][a-z0-9+.-]*://"
+
   // Hot path: byte-scan validators (graft.functions.UrlScan), not
   // java.util.regex — same semantics as UrlRegex/LangRegex (the oracle
   // still checks via regexp_matches; ValidatorSpec proves equivalence).
@@ -74,10 +94,24 @@ object Conformance {
       col("warc_ts").cast("long") < PageSynth.TsMin ||
         col("warc_ts").cast("long") >= PageSynth.TsMax,
       col("warc_ts").cast("long").cast("string"), 0.99),
-    // — URI style family (refs #15 ShortURIs, #16 NoProlixRDF, #37 regex banks) —
+    // — URI style family (refs #15 ShortURIs, #37 regex banks) —
     Pred("conform_url_style", ViolationKind.ParametarisedUri,
       urlOk,
       length(col("url")) > MaxUrlLen || col("url").contains("?"),
+      col("url"), 0.99),
+    // — prolix constructs (#16 NoProlixRDF: fixed set + member regex) —
+    Pred("prolix_text", ViolationKind.ProlixConstruct,
+      col("text").isNotNull && length(col("text")) > 0,
+      col("text").contains(ProlixPhrase) || col("text").rlike(ProlixRunRegex),
+      lit("prolix boilerplate construct"), 0.9),
+    // — shape-vs-position misuse (#12, both directions) —
+    Pred(graft.model.CheckId.MisusedLiteral, ViolationKind.MisusedDatatype,
+      col("text").isNotNull && length(col("text")) > 0,
+      col("text").rlike(MarkupRegex),
+      lit("markup in literal position"), 0.99),
+    Pred(graft.model.CheckId.MisusedResource, ViolationKind.MisusedObject,
+      col("url").isNotNull,
+      !col("url").rlike(SchemeRegex),
       col("url"), 0.99)
   )
 

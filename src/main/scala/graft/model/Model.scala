@@ -86,6 +86,14 @@ object ViolationKind {
   val DisjointMembership = "MultiTypedResourceWithDisjointedClasses" // DQMPROB exact name (AdvancedEntitiesAsMembersOfDisjointClasses.java:158)
   val LowQualityText     = "LowQualityText"      // quality score under threshold
   val MissingProvenance  = "MissingProvenance"   // host lacks a provenance marker (#25/#26 analog)
+  val DeprecatedTerm     = "UsageOfDeprecatedTerm" // #14 deprecated-dim member used
+  val ProlixConstruct    = "ProlixConstruct"     // #16 NoProlixRDF analog: boilerplate construct in text
+  val UnusedSuggestedTerm = "UnusedSuggestedVocabulary" // #18 ReuseExistingTerms problem bag
+  val HijackedContent    = "OntologyHijacking"   // #13 non-authoritative redefinition (DQMPROB name)
+  val MisplacedTerm      = "MisplacedClass"      // #11 DQMPROB MisplacedClass/MisplacedProperty
+  val MisusedDatatype    = "MisusedDatatypeProperty" // #12 resource-shaped value in literal position
+  val MisusedObject      = "MisusedObjectProperty"   // #12 literal-shaped value in resource position
+  val NoLicense          = "NoValidLicenseInDataset" // #37 DQMPROB analog
 }
 
 /** Check identifiers, with the mapping from every reference metric
@@ -145,6 +153,17 @@ object CheckId {
   val NearDupEmb       = "near_dup_emb"          // #1 analog over the embedding corpus (hyperplane-LSH clusters)
   val EstDeclaredVsDerived = "est_declared_vs_derived" // #32 sampled declared-vs-derived composition
   val EstDisjointLang  = "est_disjoint_lang"     // #10 disjoint check over the entity-keyed uniform sample
+  val EstDeclaredVsDerivedStrat = "est_declared_vs_derived_stratified" // #33 stratified composition
+  val DeprecatedTerms  = "deprecated_terms"      // #14 deprecated-dim usage (broadcast dim join)
+  val ProlixText       = "prolix_text"           // #16 boilerplate-construct pattern bank
+  val ReuseTerms       = "reuse_terms"           // #18 used ∩ suggested / used + unused-suggested problem bag
+  val VocabUsage       = "vocab_usage"           // #24 used ∩ declared / used
+  val HijackContent    = "hijack_content"        // #13 cross-host redefinition vs authoritative PLD
+  val MisplacedTerms   = "misplaced_terms"       // #11 known term of the wrong kind in a position
+  val MisusedLiteral   = "misused_shape.literal" // #12 resource-shaped value in the text (literal) position
+  val MisusedResource  = "misused_shape.resource"// #12 literal-shaped value in the url (resource) position
+  val SerialFormats    = "serial_formats"        // #20 distinct registry formats used (Integer value)
+  val LicenseIndication = "license_indication"   // #37 per-host machine/human license flags
 
   /** Reference metric #n → check ids that re-express it (for the judge's
     * SURVEY §2 line-by-line coverage walk).
@@ -160,20 +179,20 @@ object CheckId {
     8  -> Seq(UniformSample, HostReferential),      // Estimated… (sampled variant)
     9  -> Seq(DisjointLang),                        // AdvancedEntitiesAsMembersOfDisjointClasses (collect_set + disjoint-pair test)
     10 -> Seq(EstDisjointLang, UniformSample),      // EstimateSimpleEntities… (disjoint over the entity-keyed sample)
-    11 -> Seq(HostReferential),                     // MisplacedClassesOrProperties
-    12 -> Seq(LangConformance),                     // MisusedOwlDatatypeOrObjectProperties
-    13 -> Seq(HostReferential),                     // OntologyHijacking (authoritative-host membership)
-    14 -> Seq(LangReferential),                     // UsageOfDeprecatedClassesOrProperties
+    11 -> Seq(MisplacedTerms, HostReferential),     // MisplacedClassesOrProperties (term-kind dim, both positions)
+    12 -> Seq(MisusedLiteral, MisusedResource),     // MisusedOwlDatatypeOrObjectProperties (shape-vs-position, both directions)
+    13 -> Seq(HijackContent, HostReferential),      // OntologyHijacking (cross-host redefinition vs authoritative PLD)
+    14 -> Seq(DeprecatedTerms, LangReferential),    // UsageOfDeprecatedClassesOrProperties
     15 -> Seq(UrlStyle),                            // ShortURIs
-    16 -> Seq(UrlStyle),                            // NoProlixRDF (pattern bank)
+    16 -> Seq(ProlixText, UrlStyle),                // NoProlixRDF (boilerplate-construct pattern bank)
     17 -> Seq(HostReferential),                     // UndefinedClassesAndProperties
-    18 -> Seq(LangReferential),                     // ReuseExistingTerms
+    18 -> Seq(ReuseTerms, LangReferential),         // ReuseExistingTerms (+ unused-suggested problem bag)
     19 -> Seq(NullStats),                           // BlankNodeUsage (null-ratio stat)
-    20 -> Seq(DistinctStats),                       // DifferentSerialisationFormatsCount
+    20 -> Seq(SerialFormats, DistinctStats),        // DifferentSerialisationFormatsCount (registry dim, Integer value)
     21 -> Seq(MultiLangUsage, LangDriftPsi),        // MultipleLanguageUsage (per-entity distribution)
     22 -> Seq(TextQuality, NullStats),              // HumanReadableLabelling
     23 -> Seq(ExistsHttpsUrl),                      // PresenceOfURIRegEx (exists-style boolean)
-    24 -> Seq(LangDriftPsi),                        // VocabularyUsageIndication
+    24 -> Seq(VocabUsage, LangDriftPsi),            // VocabularyUsageIndication (used∩declared/used)
     25 -> Seq(ProvHostFlags, NullStats),            // BasicProvenanceMetric (per-dataset flag agg)
     26 -> Seq(ProvHostFlags, NullStats),            // ExtendedProvenanceMetric
     27 -> Seq(UrlConformance),                      // Dereferenceability (URL validity shape)
@@ -182,11 +201,11 @@ object CheckId {
     30 -> Seq(StratifiedSample),                    // EstimatedDereferenceabilityByStratified
     31 -> Seq(DeclaredVsDerivedLang),               // MisreportedContentType
     32 -> Seq(EstDeclaredVsDerived, EstUrlConformance), // Estimated… (derivation check over the sample, scaled)
-    33 -> Seq(StratifiedSample, EstDeclaredVsDerived),
+    33 -> Seq(EstDeclaredVsDerivedStrat, StratifiedSample), // Estimated…ByStratified (per-host scaled composition)
     34 -> Seq(ExistsHtml),                          // RDFAccessibility (exists-filter boolean)
     35 -> Seq(ExistsEnText),                        // SPARQLAccessibility (exists-filter boolean)
     36 -> Seq(HostReferential),                     // LinkExternalDataProviders
-    37 -> Seq(LangConformance, UrlStyle),           // licensing regex banks
+    37 -> Seq(LicenseIndication),                   // licensing banks (machine value + human phrase + copyleft classifier)
     38 -> Seq()                                     // HighThroughput/LowLatency → Bench harness
   )
 }

@@ -20,18 +20,32 @@ import graft.checks.FusedChecks
   */
 object Multimodal {
 
-  /** Deterministic wrapper the synthesizer puts around text. */
-  val Prefix = "<!DOCTYPE html><html><body><p>"
-  val Suffix = "</p></body></html>"
+  /** Deterministic wrapper the synthesizer puts around (license, text).
+    * The license slot is fixed-width (10 chars), so both the text and
+    * the machine-readable license extract with pure substr — no
+    * parsing, no regex on the hot path.
+    */
+  val PrefixLen: Int =
+    graft.synth.PageSynth.HtmlHead.length + 10 + graft.synth.PageSynth.HtmlMid.length
+  val Suffix: String = graft.synth.PageSynth.HtmlTail
+  /** 0-based offset of the 10-char license value in the decoded html. */
+  val LicenseOffset: Int = graft.synth.PageSynth.HtmlHead.length
 
   /** Pure, codegen'd text extraction from the html payload: UTF-8
     * decode + wrapper strip. No locale, no charset ambiguity.
     */
   def extractText(html: Column): Column = {
     val s = decode(html, "UTF-8")
-    s.substr(lit(Prefix.length + 1),
-      greatest(lit(0), length(s) - (Prefix.length + Suffix.length)))
+    s.substr(lit(PrefixLen + 1),
+      greatest(lit(0), length(s) - (PrefixLen + Suffix.length)))
   }
+
+  /** Machine-readable license value from the html head (#37
+    * MachineReadableLicense analog — the license "predicate" read
+    * without touching the body).
+    */
+  def licenseOf(html: Column): Column =
+    substring(decode(html, "UTF-8"), LicenseOffset + 1, 10)
 
   /** Per-pday html metadata + round-trip verdict:
     * (pday, n_pages, n_html, total_bytes, n_roundtrip_ok).

@@ -105,6 +105,12 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         .withColumn("host", Referential.hostExpr)
         .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
         .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
+        .join(broadcast(dims.depDim.withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
+        // #11 misplaced-term flags: the wrong-kind vocabulary per position
+        .join(broadcast(dims.hostDim.withColumnRenamed("host", "lang")
+          .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
+        .join(broadcast(dims.langDim.withColumnRenamed("lang", "host")
+          .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
       val allPreds = Conformance.preds ++ CheckSuite.refPreds ++ graft.text.TextOps.preds
       // the predicate bank folds into two long bitmasks (FusedChecks.
       // maskFrame): the verdict agg is pure bit-math and the violations
@@ -248,6 +254,34 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // #1's analog over the embedding corpus: hyperplane-LSH pairs →
         // connected components → verdict + per-cluster problem bag, the
         // same value/violation shape as near_dup_text
+        // #18 + #24 share one corpus-scale distinct-terms frame
+        val fVocabFam = track(phase("vocab_family") {
+          val used = Vocabulary.usedTermsFrame(full).localCheckpoint(true)
+          (snap(Vocabulary.reuseVerdictRow(used)),
+            snap(Vocabulary.vocabUsageVerdictRow(used, dims.langDim)),
+            cappedSnap(Vocabulary.reuseViolations(used)))
+        })
+        // #37: per-host license flags (host-cardinality) materialized
+        // once; verdict + no-license listing derive from them
+        val fLicense = track(phase("license_family") {
+          val fl = Licensing.hostFlags(full).localCheckpoint(true)
+          (snap(Licensing.verdictRowFromFlags(fl)),
+            cappedSnap(Licensing.violationsFromFlags(fl)))
+        })
+        // #20: registry-format count (Integer-valued metric)
+        val fSerial = track(phase("serial_formats")(snap(
+          Formats.verdictRow(full, Formats.formatDim(spark)))))
+        // #13: hijack flags materialized once; verdict + listing derive
+        // from the flagged frame, no second corpus scan
+        val fHijack = track(phase("hijack_family") {
+          val fl = Hijack.flags(full, dims.hostDim)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          fl.count()
+          val v = snap(Hijack.verdictRowFromFlags(fl))
+          val viol = cappedSnap(Hijack.violationsFromFlags(fl))
+          fl.unpersist()
+          (v, viol)
+        })
         val fEmbNd = embeddings.map(vecs => track(phase("embdup_pipeline") {
           val r = graft.sim.Similarity.nearDupPairsCounted(vecs)
           val labels = graft.dedup.Components.labels(r.result.select("id_a", "id_b"))
@@ -269,6 +303,10 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         val (disjoint, disjointViol) = await(fDisjoint)
         val (prov, provViol) = await(fProvF)
         val (nearDup, nearDupViol, ndCapped) = await(fNd)
+        val (reuse, vocab, reuseViol) = await(fVocabFam)
+        val (hijack, hijackViol) = await(fHijack)
+        val (license, licenseViol) = await(fLicense)
+        val serial = await(fSerial)
         val embFam = fEmbNd.map(await)
         val uniqViolRows = await(fUniqViol)
         val dupTextViol = await(fDupTextViol)
@@ -276,11 +314,13 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         await(fBatchViol)
         capParams = Map(CheckId.NearDupText -> CheckSuite.paramsWithCap(ndCapped)) ++
           embFam.map(e => CheckId.NearDupEmb -> CheckSuite.paramsWithCap(e._3))
-        val wholeViol = (Seq(dupTextViol, disjointViol, provViol, nearDupViol) ++
+        val wholeViol = (Seq(dupTextViol, disjointViol, provViol, nearDupViol,
+          reuseViol, hijackViol, licenseViol) ++
           embFam.map(_._2)).foldLeft(uniqViolRows)(_ unionByName _)
         val perDaySnapped = fusedByDay.unionByName(complSnap)
           .unionByName(estimated).unionByName(estDeclared)
-        val wholeResults = Seq(uniq, dupText, drift, exists, disjoint, prov, nearDup) ++
+        val wholeResults = Seq(uniq, dupText, drift, exists, disjoint, prov, nearDup,
+          reuse, vocab, hijack, license, serial) ++
           embFam.map(_._1)
         (wholeResults.foldLeft(perDaySnapped)(_ unionByName _), Some(wholeViol))
       } else {
@@ -365,7 +405,16 @@ object CheckSuite {
       col("host") =!= "", col("host_known").isNull, col("host"), 0.99),
     Pred(CheckId.LangReferential, graft.model.ViolationKind.UnknownLanguage,
       col("lang").isNotNull && graft.functions.NativeValidators.validLangTag(col("lang")),
-      col("lang_known").isNull, col("lang"), 0.98))
+      col("lang_known").isNull, col("lang"), 0.98),
+    // #14 deprecated-term usage, riding the same dim-joined fused scan
+    Pred(CheckId.DeprecatedTerms, graft.model.ViolationKind.DeprecatedTerm,
+      col("lang").isNotNull && graft.functions.NativeValidators.validLangTag(col("lang")),
+      col("lang_deprecated").isNotNull, col("lang"), 0.8),
+    // #11 misplaced terms: a known term of the WRONG kind in a position
+    Pred(CheckId.MisplacedTerms, graft.model.ViolationKind.MisplacedTerm,
+      col("lang").isNotNull || col("host") =!= "",
+      col("lang_is_hostterm").isNotNull || col("host_is_langterm").isNotNull,
+      concat_ws("|", col("lang"), col("host")), 0.99))
 
   /** Number of distinct per-day check ids emitted for every partition:
     * fused preds (conformance + referential + text) + expected-member
@@ -377,9 +426,11 @@ object CheckSuite {
 
   /** Whole-table check ids emitted with the final batch (pday='*'):
     * uniqueness, exact-dup text, psi, ks, 3 exists probes, disjoint,
-    * provenance, text near-dup, embedding near-dup.
+    * provenance, text near-dup, embedding near-dup, reuse-terms,
+    * vocab-usage, content hijacking, license indication, serialisation
+    * formats.
     */
-  val WholeTableCheckCount: Int = 11
+  val WholeTableCheckCount: Int = 16
 
   /** Near-dup verdict floor: ≥ this fraction of docs must survive
     * one-representative-per-cluster dedup.
@@ -539,9 +590,10 @@ object CheckSuite {
 }
 
 /** Dimension snapshots the suite joins against. */
-case class Dims(hostDim: DataFrame, langDim: DataFrame, famDim: DataFrame)
+case class Dims(hostDim: DataFrame, langDim: DataFrame, famDim: DataFrame,
+    depDim: DataFrame)
 object Dims {
   def default(spark: SparkSession): Dims =
     Dims(graft.synth.PageSynth.hostDim(spark), graft.synth.PageSynth.langDim(spark),
-      Disjoint.famDim(spark))
+      Disjoint.famDim(spark), Vocabulary.deprecatedDim(spark))
 }

@@ -73,11 +73,17 @@ object StreamingChecks {
     * families.
     */
   def conformanceWithDims(stream: DataFrame, hostDim: DataFrame,
-      langDim: DataFrame, watermark: String = "2 days"): DataFrame = {
+      langDim: DataFrame, depDim: DataFrame,
+      watermark: String = "2 days"): DataFrame = {
     val joined = graft.text.TextOps.withDerived(stream)
       .withColumn("host", graft.checks.Referential.hostExpr)
       .join(broadcast(hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
       .join(broadcast(langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
+      .join(broadcast(depDim.withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
+      .join(broadcast(hostDim.withColumnRenamed("host", "lang")
+        .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
+      .join(broadcast(langDim.withColumnRenamed("lang", "host")
+        .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
     conformanceByWindow(joined,
       Conformance.preds ++ graft.runtime.CheckSuite.refPreds ++ graft.text.TextOps.preds,
       watermark)
@@ -88,10 +94,10 @@ object StreamingChecks {
     * family streams too.
     */
   def start(spark: SparkSession, dir: String, queryName: String,
-      dims: Option[(DataFrame, DataFrame)] = None): StreamingQuery = {
+      dims: Option[(DataFrame, DataFrame, DataFrame)] = None): StreamingQuery = {
     val src = pageStream(spark, dir)
     val out = dims match {
-      case Some((hostDim, langDim)) => conformanceWithDims(src, hostDim, langDim)
+      case Some((hostDim, langDim, depDim)) => conformanceWithDims(src, hostDim, langDim, depDim)
       case None => conformanceByWindow(src)
     }
     out.writeStream

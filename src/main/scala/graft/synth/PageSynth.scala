@@ -39,7 +39,16 @@ import org.apache.spark.sql.functions._
   *                the 20-token A/B pair is only minhash-detectable)
   *   - `%421==0`  lang NULL
   *   - `%419==0`  lang `'x!'`                    (syntax violation)
+  *   - `%443==0`  lang `'h002.example.com'`      (a host-KIND term in lang position —
+  *                #11 MisplacedClassesOrProperties analog; also fails lang syntax)
   *   - `%97==0`   lang `'zz'`   (valid syntax, absent from lang_dim → referential violation)
+  *   - `%457==0`  text wrapped in `<a href=…>…</a>` markup (resource-shaped value in a
+  *                literal position — #12 MisusedOwlDatatypeOrObjectProperties analog)
+  *   - `pid%463==0 / %467==0 / %479==0` url extension `.xhtml` / `.htm` / `.txt`
+  *                (serialisation-format variety — #20 DifferentSerialisationFormatsCount)
+  *   - every non-null html carries a fixed-width machine-readable license meta
+  *                (`host_id%4` → CC-BY-SA-4 / CC0-PUBLIC / PROPRIETRY / UNLICENSED —
+  *                #37 licensing bank; UNLICENSED = no license indicated)
   *   - crawl day ≥ 23 with `%7<3` → lang forced `'fr'`  (lang drift, second half)
   *   - crawl day ≥ 23 with `%11<3` → hour forced to 03:xx (hour drift, second half)
   */
@@ -65,6 +74,24 @@ object PageSynth {
   /** C with token #200 changed. */
   val BoilerCPrime: String = BoilerC.replace(" w200 ", " wzzz ")
 
+  /** Fixed-width (10-char) machine-readable license values carried in
+    * every html head; `host_id % 4` selects one. [[NoLicense]] means
+    * "no license indicated" (#37 MachineReadableLicense analog).
+    */
+  val LicenseValues: Seq[String] = Seq("CC-BY-SA-4", "CC0-PUBLIC", "PROPRIETRY", "UNLICENSED")
+  val NoLicense = "UNLICENSED"
+  /** html template around (license, text); all three pieces are fixed
+    * strings and the license slot is fixed-width, so text extraction
+    * stays a pure substr (no parsing).
+    */
+  val HtmlHead = "<!DOCTYPE html><html><head><meta name=\"license\" content=\""
+  val HtmlMid = "\"/></head><body><p>"
+  val HtmlTail = "</p></body></html>"
+
+  private val licSql: String =
+    s"CASE host_id % 4 WHEN 0 THEN '${LicenseValues(0)}' WHEN 1 THEN '${LicenseValues(1)}' " +
+      s"WHEN 2 THEN '${LicenseValues(2)}' ELSE '${LicenseValues(3)}' END"
+
   sealed trait Dialect { def str: String; def enc(x: String): String; def day(e: String): String }
   /** Spark SQL rendering. */
   case object SparkSql extends Dialect {
@@ -89,14 +116,16 @@ object PageSynth {
     val str = d.str
     s"""SELECT doc_id, url, warc_epoch, pday,
        |  CASE WHEN text IS NULL THEN NULL
-       |       ELSE ${d.enc("'<!DOCTYPE html><html><body><p>' || text || '</p></body></html>'")} END AS html,
+       |       ELSE ${d.enc(s"'$HtmlHead' || $licSql || '$HtmlMid' || text || '$HtmlTail'")} END AS html,
        |  text, lang, host_id, host
        |FROM (
        |  SELECT doc_id, pid, host_id, host,
        |    CASE WHEN pid % 439 = 0 THEN 'http://' || host || '/bad path/' || cast(pid as $str)
        |         WHEN pid % 433 = 0 THEN 'notaurl-' || cast(pid as $str)
        |         WHEN pid % 211 = 0 THEN 'https://' || host || '/p/' || cast(pid as $str) || '.html?session=' || repeat('x', 60)
-       |         ELSE 'https://' || host || '/p/' || cast(pid as $str) || '.html' END AS url,
+       |         ELSE 'https://' || host || '/p/' || cast(pid as $str) ||
+       |           CASE WHEN pid % 463 = 0 THEN '.xhtml' WHEN pid % 467 = 0 THEN '.htm'
+       |                WHEN pid % 479 = 0 THEN '.txt' ELSE '.html' END END AS url,
        |    CASE WHEN doc_id % 353 = 0 THEN NULL
        |         WHEN doc_id % 359 = 0 THEN 499162500
        |         WHEN doc_id % $Days >= 23 AND doc_id % 11 < 3
@@ -111,9 +140,11 @@ object PageSynth {
        |         WHEN doc_id % 127 = 4 THEN 'boilerplate cookie consent page please accept our terms and conditions to continue reading the content of this website'
        |         WHEN doc_id % 127 = 5 THEN '$BoilerC'
        |         WHEN doc_id % 127 = 6 THEN '$BoilerCPrime'
+       |         WHEN doc_id % 457 = 0 THEN '<a href="https://h000.example.com/ref">' || text || '</a>'
        |         ELSE text END AS text,
        |    CASE WHEN doc_id % 421 = 0 THEN NULL
        |         WHEN doc_id % 419 = 0 THEN 'x!'
+       |         WHEN doc_id % 443 = 0 THEN 'h002.example.com'
        |         WHEN doc_id % 97 = 0 THEN 'zz'
        |         WHEN doc_id % $Days >= 23 AND doc_id % 7 < 3 THEN 'fr'
        |         ELSE lang END AS lang

@@ -44,13 +44,15 @@ class StreamingSpec extends AnyFunSuite {
     pages.repartition(6).write.mode("overwrite").parquet(dir)
 
     val q = StreamingChecks.start(spark, dir, "stream_ref",
-      dims = Some((PageSynth.hostDim(spark), PageSynth.langDim(spark))))
+      dims = Some((PageSynth.hostDim(spark), PageSynth.langDim(spark),
+        graft.checks.Vocabulary.deprecatedDim(spark))))
     q.processAllAvailable()
     q.stop()
 
     // streamed final state per (day, family): counts are monotone under
     // update mode, so max is the converged value
     val famCols = Seq("ref_host_dim", "ref_lang_dim",
+      graft.model.CheckId.DeprecatedTerms,
       graft.model.CheckId.DeclaredVsDerivedLang, graft.model.CheckId.TextQuality)
     val streamed = spark.table("stream_ref")
       .groupBy(col("pday"))
@@ -67,6 +69,12 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("host", graft.checks.Referential.hostExpr)
       .join(broadcast(PageSynth.hostDim(spark).withColumn("host_known", lit(true))), Seq("host"), "left")
       .join(broadcast(PageSynth.langDim(spark).withColumn("lang_known", lit(true))), Seq("lang"), "left")
+      .join(broadcast(graft.checks.Vocabulary.deprecatedDim(spark)
+        .withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
+      .join(broadcast(PageSynth.hostDim(spark).withColumnRenamed("host", "lang")
+        .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
+      .join(broadcast(PageSynth.langDim(spark).withColumnRenamed("lang", "host")
+        .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
     val batchRows = graft.checks.FusedChecks.resultsByDay(joined,
         graft.checks.Conformance.preds ++ graft.runtime.CheckSuite.refPreds ++
           graft.text.TextOps.preds)

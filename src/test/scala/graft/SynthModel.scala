@@ -28,7 +28,14 @@ object SynthModel {
     if (pid % 439 == 0) s"http://$h/bad path/$pid"
     else if (pid % 433 == 0) s"notaurl-$pid"
     else if (pid % 211 == 0) s"https://$h/p/$pid.html?session=${"x" * 60}"
-    else s"https://$h/p/$pid.html"
+    else {
+      val ext =
+        if (pid % 463 == 0) ".xhtml"
+        else if (pid % 467 == 0) ".htm"
+        else if (pid % 479 == 0) ".txt"
+        else ".html"
+      s"https://$h/p/$pid$ext"
+    }
   }
 
   def warcEpoch(docId: Long): Option[Long] =
@@ -51,14 +58,29 @@ object SynthModel {
     else if (docId % 127 == 5) Some((1 to 400).map(i => f"w$i%03d").mkString(" "))
     else if (docId % 127 == 6)
       Some((1 to 400).map(i => if (i == 200) "wzzz" else f"w$i%03d").mkString(" "))
+    else if (docId % 457 == 0)
+      Some(s"""<a href="https://h000.example.com/ref">$base</a>""")
     else Some(base)
 
   def lang(docId: Long, base: String): Option[String] =
     if (docId % 421 == 0) None
     else if (docId % 419 == 0) Some("x!")
+    else if (docId % 443 == 0) Some("h002.example.com")
     else if (docId % 97 == 0) Some("zz")
     else if (docId % 45 >= 23 && docId % 7 < 3) Some("fr")
     else Some(base)
+
+  /** Fixed-width machine-readable license value of the page's html. */
+  def license(docId: Long): String = {
+    val pid = if (docId % 131 == 7) docId - 7 else docId
+    val hostId =
+      if (pid % 100 < 40) 0L
+      else if (pid % 100 < 65) 1L
+      else if (pid % 100 < 80) 2L
+      else if (pid % 100 < 90) 3L
+      else (pid % 97) + 4
+    graft.synth.PageSynth.LicenseValues((hostId % 4).toInt)
+  }
 
   def page(docId: Long, baseText: String, baseLang: String): MPage = {
     val pid = if (docId % 131 == 7) docId - 7 else docId
