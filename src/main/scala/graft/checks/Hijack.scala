@@ -45,6 +45,43 @@ object Hijack {
       .where(col("n_hosts") > 1)
       .withColumn("rep_host", regexp_extract(col("rep"), "^https?://([^/?]+)", 1))
 
+  /** ONE-corpus-scan hijack statistics, per (cross-host group, host):
+    * (fp, host, n, rep, rep_host, rep_known, hijack_n). The corpus
+    * reduces to (fp, host, n, min_url) in the first aggregation; the
+    * representative/authority resolution is a group-cardinality
+    * self-aggregation + broadcast dim join — no per-page join-back, so
+    * the verdict never shuffles page rows twice.
+    */
+  def groupHostStats(pages: DataFrame, hostDim: DataFrame): DataFrame = {
+    val byHost = defs(pages)
+      .groupBy(col("fp"), col("host"))
+      .agg(count(lit(1)).as("n"), min(col("url")).as("min_url"))
+    val byFp = byHost.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_hosts"), min(col("min_url")).as("rep"))
+      .where(col("n_hosts") > 1)
+      .withColumn("rep_host", regexp_extract(col("rep"), "^https?://([^/?]+)", 1))
+      .join(broadcast(hostDim.withColumnRenamed("host", "rep_host")
+        .withColumn("rep_known", lit(true))), Seq("rep_host"), "left")
+    byHost.join(byFp, "fp")
+      .withColumn("hijack_n",
+        when(col("host") =!= col("rep_host") && coalesce(col("rep_known"), lit(false)),
+          col("n")).otherwise(0L))
+  }
+
+  /** Verdict from [[groupHostStats]] — identical counts to the
+    * per-page [[flags]] path (possible = Σ n over cross-host group
+    * members, hijacks = Σ n over wrong-host members with known
+    * authority), at one corpus scan instead of scan + join-back.
+    */
+  def verdictFromStats(st: DataFrame, threshold: Double = 0.5): DataFrame =
+    st.agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("hijack_n")), lit(0L)).as("violations"))
+      .select(col("n_rows"), col("violations"),
+        when(col("n_rows") === 0, 1.0)
+          .otherwise(abs(lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double")))
+          .as("value"))
+      .withColumn("pass", col("value") >= threshold)
+
   /** Per-page hijack flags over the rule-matching (cross-host-group)
     * pages: (url, host, rep, rep_host, rep_known, is_hijack).
     */
@@ -58,25 +95,14 @@ object Hijack {
         col("host") =!= col("rep_host") && coalesce(col("rep_known"), lit(false)))
   }
 
-  /** Verdict from a pre-built flags frame (the suite materializes flags
-    * once and derives verdict + listing from it).
-    */
-  def verdictFromFlags(fl: DataFrame, threshold: Double = 0.5): DataFrame =
-    fl.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("is_hijack"), 1L).otherwise(0L)).as("violations"))
-      .select(col("n_rows"), coalesce(col("violations"), lit(0L)).as("violations"),
-        when(col("n_rows") === 0, 1.0)
-          .otherwise(abs(lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double")))
-          .as("value"))
-      .withColumn("pass", col("value") >= threshold)
-
   /** Single-row verdict: (n_rows = possible, violations = hijacks,
     * value = |1 − hijacks/possible|, pass). Empty rule-match set →
-    * value 1.0 (the reference returns 1 when possible = 0).
+    * value 1.0 (the reference returns 1 when possible = 0). Computed
+    * from the one-scan [[groupHostStats]] path.
     */
   def verdict(pages: DataFrame, hostDim: DataFrame,
       threshold: Double = 0.5): DataFrame =
-    verdictFromFlags(flags(pages, hostDim), threshold)
+    verdictFromStats(groupHostStats(pages, hostDim), threshold)
 
   /** Hijacking problem rows: (url, host, rep, rep_host), ordered —
     * one per hijacking page, naming the authoritative resource it
@@ -89,20 +115,27 @@ object Hijack {
       .select(col("url"), col("host"), col("rep"), col("rep_host"))
       .orderBy("url", "rep")
 
-  // ——— suite adapters ———
+  // ——— suite adapters (both derive from ONE materialized
+  // group-cardinality stats frame; the suite never joins page rows) ———
 
-  def verdictRowFromFlags(fl: DataFrame): DataFrame =
-    verdictFromFlags(fl).select(
+  def verdictRowFromStats(st: DataFrame): DataFrame =
+    verdictFromStats(st).select(
       lit(CheckId.HijackContent).as("check_id"), lit("*").as("pday"),
       col("n_rows"), col("violations"), col("value"), col("pass"))
 
-  def violationsFromFlags(fl: DataFrame): DataFrame =
-    fl.where(col("is_hijack"))
+  /** Suite problem rows, grouped per (offending host, group) — the
+    * same bounded-listing shape as [[Referential.unknownHosts]]; exact
+    * page counts stay in `detail`, per-page urls are [[hijackPages]]'
+    * job (query surface).
+    */
+  def violationsFromStats(st: DataFrame): DataFrame =
+    st.where(col("hijack_n") > 0)
       .select(
         lit(CheckId.HijackContent).as("check_id"),
         lit(ViolationKind.HijackedContent).as("kind"),
         lit("*").as("pday"),
-        col("url"),
-        concat(lit("redefines content of "), col("rep"),
-          lit(" (authority "), col("rep_host"), lit(")")).as("detail"))
+        col("min_url").as("url"),
+        concat(lit("host "), col("host"), lit(" redefines content of "),
+          col("rep"), lit(" (authority "), col("rep_host"),
+          lit(", "), col("hijack_n"), lit(" pages)")).as("detail"))
 }

@@ -42,10 +42,12 @@ object Multimodal {
 
   /** Machine-readable license value from the html head (#37
     * MachineReadableLicense analog — the license "predicate" read
-    * without touching the body).
+    * without touching the body). The 10-byte slice is taken on the
+    * BINARY column first — the head region is pure ASCII, so byte
+    * offsets equal char offsets and the ~KB body is never decoded.
     */
   def licenseOf(html: Column): Column =
-    substring(decode(html, "UTF-8"), LicenseOffset + 1, 10)
+    decode(substring(html, LicenseOffset + 1, 10), "UTF-8")
 
   /** Per-pday html metadata + round-trip verdict:
     * (pday, n_pages, n_html, total_bytes, n_roundtrip_ok).

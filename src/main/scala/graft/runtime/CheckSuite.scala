@@ -271,16 +271,12 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // #20: registry-format count (Integer-valued metric)
         val fSerial = track(phase("serial_formats")(snap(
           Formats.verdictRow(full, Formats.formatDim(spark)))))
-        // #13: hijack flags materialized once; verdict + listing derive
-        // from the flagged frame, no second corpus scan
+        // #13: ONE corpus scan reduces to group-cardinality hijack
+        // stats; verdict + grouped listing derive from that tiny frame
         val fHijack = track(phase("hijack_family") {
-          val fl = Hijack.flags(full, dims.hostDim)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          fl.count()
-          val v = snap(Hijack.verdictRowFromFlags(fl))
-          val viol = cappedSnap(Hijack.violationsFromFlags(fl))
-          fl.unpersist()
-          (v, viol)
+          val st = Hijack.groupHostStats(full, dims.hostDim).localCheckpoint(true)
+          (snap(Hijack.verdictRowFromStats(st)),
+            cappedSnap(Hijack.violationsFromStats(st)))
         })
         val fEmbNd = embeddings.map(vecs => track(phase("embdup_pipeline") {
           val r = graft.sim.Similarity.nearDupPairsCounted(vecs)

@@ -103,6 +103,48 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("hijack exchanges carry (url, host, fp) keys only — no text/html below the fp shuffle") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    // the content column must reduce to its md5 fingerprint BEFORE the
+    // group-by/join shuffles: at 100 TB the exchanges carry ~50-byte
+    // key rows, never page text or html payloads
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Hijack.verdict(pages, PageSynth.hostDim(spark))
+      val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty)
+      for (e <- exchanges) {
+        assert(!e.output.exists(a => a.name == "text" || a.name == "html" ||
+          a.dataType.isInstanceOf[BinaryType]),
+          "hijack exchange must be fingerprint-keyed, got: " +
+            e.output.map(_.name).mkString(", "))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("vocabulary-dimension checks broadcast their dims (no fact-side shuffle joins)") {
+    for (df <- Seq(
+        Vocabulary.deprecatedByDay(pages, Vocabulary.deprecatedDim(spark)),
+        Vocabulary.misplacedByDay(pages, Vocabulary.termDim(spark)),
+        Formats.formatCounts(pages, Formats.formatDim(spark)))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p.take(400))
+      assert(!p.contains("SortMergeJoin"), p.take(400))
+    }
+  }
+
+  test("license family is one scan: partial-aggregated host flags, no window, no join") {
+    val df = Licensing.hostFlags(pages)
+    val p = plan(df)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(400))
+    // exactly one exchange: the host-keyed final agg (map-side partials first)
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 2, s"expected host agg + order-by only, got ${exchanges.size}")
+  }
+
   test("knn top-k bottom-most window partitions by (query_id, salt)") {
     // the scored set is corpus-sized: a single Window.partitionBy(query_id)
     // would sort all of one query's N scores in one task at 10^12 rows,
