@@ -154,12 +154,15 @@ object ScalingBench {
         } else ""
       }
       val scopeLine = verdictRowsOf(n4).orElse(verdictRowsOf(n)).map(v =>
-        s"""|- suite scope: $v verdict rows per assessment (16 per-day checks ×
-            |  47 partitions + 11 whole-table checks incl. text AND embedding
-            |  LSH near-dup clustering and per-host provenance flags) —
-            |  "validated docs/sec" is docs ÷ wall-clock at THIS scope; see
-            |  the per-verdict-row normalization below for cross-round
-            |  comparability (round 2: 713 rows, round 3: 762, round 4: 763)
+        s"""|- suite scope: $v verdict rows per assessment
+            |  (${graft.runtime.CheckSuite.PerDayCheckCount} per-day checks ×
+            |  47 partitions + ${graft.runtime.CheckSuite.WholeTableCheckCount}
+            |  whole-table checks incl. text AND embedding LSH near-dup
+            |  clustering, per-host provenance flags, vocabulary/licensing/
+            |  hijack/format families) — "validated docs/sec" is docs ÷
+            |  wall-clock at THIS scope; see the per-verdict-row
+            |  normalization below for cross-round comparability
+            |  (round 2: 713 rows, round 3: 762, round 4: 1003)
             |""".stripMargin).getOrElse("")
       val md =
         s"""# BENCH — metricsspark scaling evidence

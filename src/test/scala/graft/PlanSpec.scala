@@ -145,6 +145,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"expected host agg + order-by only, got ${exchanges.size}")
   }
 
+  test("graph sameAs edges shuffle fingerprints, never document text") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    // content identity reduces to md5(fp) BEFORE the group/join
+    // exchanges: at corpus scale the edge derivation moves ~50-byte
+    // (fp, url) rows, never normalized text
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.graph.Interlinking.sameAsEdges(pages)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty)
+      for (e <- exchanges)
+        assert(!e.output.exists(a => a.name == "text" || a.name == "html" ||
+          a.name == "n" || a.dataType.isInstanceOf[BinaryType]),
+          "sameAs exchange must be fingerprint-keyed, got: " +
+            e.output.map(_.name).mkString(", "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("knn top-k bottom-most window partitions by (query_id, salt)") {
     // the scored set is corpus-sized: a single Window.partitionBy(query_id)
     // would sort all of one query's N scores in one task at 10^12 rows,
