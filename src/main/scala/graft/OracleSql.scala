@@ -324,6 +324,40 @@ object OracleSql {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // knn_ivf oracle: the deterministic coarse quantizer (the NumCells
+  // smallest-vec_id vectors) is recomputed in SQL, every vector is
+  // assigned to its nearest cell by rounded cosine (ties → smallest
+  // cell_id — Similarity.cellRanks' struct order), queries probe their
+  // NumProbes nearest cells, and the ranked top-k is restricted to
+  // candidates in probed cells — end-to-end value verification of the
+  // IVF retrieval path including the quantizer and cell assignment.
+  val knnIvf: String = {
+    val nCells = graft.sim.Similarity.NumCells
+    val nProbe = graft.sim.Similarity.NumProbes
+    s"""$vecCte,
+       |cent AS (SELECT vec_id AS cell_id, e AS ce FROM vecs ORDER BY vec_id LIMIT $nCells),
+       |a0 AS (SELECT v.vec_id, c.cell_id, round(${cosDuck("v.e", "c.ce")}, 6) AS cc
+       |       FROM vecs v CROSS JOIN cent c),
+       |ar AS (SELECT vec_id, cell_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell_id) AS rn
+       |       FROM a0),
+       |asg AS (SELECT vec_id, cell_id FROM ar WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cell_id FROM ar WHERE rn <= $nProbe AND vec_id < 10),
+       |cand AS (SELECT probe.query_id, asg.vec_id AS neighbor_id
+       |         FROM probe JOIN asg USING (cell_id)
+       |         WHERE asg.vec_id <> probe.query_id),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |        round(${cosDuck("vq.e", "vn.e")}, 6) AS cos
+       |      FROM cand
+       |      JOIN vecs vq ON vq.vec_id = cand.query_id
+       |      JOIN vecs vn ON vn.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val embNearDup: String =
     s"""$vecCte,
        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1244,6 +1278,7 @@ object OracleSql {
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "knn_brute" -> knnBrute,
     "knn_lsh" -> knnLsh,
+    "knn_ivf" -> knnIvf,
     "emb_near_dup" -> embNearDup,
     "deprecated_terms" -> deprecatedTerms,
     "deprecated_usages" -> deprecatedUsages,

@@ -171,6 +171,12 @@ object SparkEntry {
       val v = graft.synth.EmbSynth.vectors(s, dir)
       graft.sim.Similarity.knnLsh(v, v.where(col("vec_id") < 10))
     }),
+    // IVF-Flat ANN (coarse-quantizer scale path: cell-pruned candidate
+    // scan, corpus never shuffled)
+    "knn_ivf" -> ((s, dir) => {
+      val v = graft.synth.EmbSynth.vectors(s, dir)
+      graft.sim.Similarity.knnIvf(v, v.where(col("vec_id") < 10))
+    }),
     "emb_near_dup" -> ((s, dir) =>
       graft.sim.Similarity.nearDupPairs(graft.synth.EmbSynth.vectors(s, dir))),
     // graph / interlinking analysis (MapDBGraph sameAs + degree/neighbor

@@ -261,6 +261,80 @@ object Similarity {
       maxBucket: Long = MaxBucketSize): DataFrame =
     nearDupPairsCounted(corpus, threshold, maxBucket).result
 
+  // ——— IVF-Flat: the coarse-quantizer ANN scale path ———
+
+  /** Coarse-quantizer cells / probed cells per query. 16 cells suit the
+    * test corpora (10²–10⁵ vectors); a 10⁹-vector deployment raises
+    * NumCells to ~√n and trains the quantizer offline — the operator
+    * takes any centroid set.
+    */
+  val NumCells = 16
+  val NumProbes = 4
+
+  /** Deterministic coarse-quantizer "training" stand-in: the nCells
+    * corpus vectors with the smallest vec_id. Real IVF trains k-means
+    * centroids offline on a sample; that training is a bounded driver /
+    * offline step either way, so the engine contract is the same — a
+    * small centroid table, broadcast as literals into the assignment
+    * scan. Deterministic selection keeps the DuckDB oracle able to
+    * recompute the identical quantizer (`ORDER BY vec_id LIMIT n`).
+    */
+  def ivfCentroids(corpus: DataFrame, nCells: Int = NumCells): Seq[(Long, Array[Double])] =
+    corpus.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** Cells ranked nearest-first for one vector: a 16-entry array of
+    * (−cos, cell_id) structs, sorted ascending — i.e. by rounded cosine
+    * descending, ties to the smallest cell_id (the DuckDB oracle's
+    * `ORDER BY cc DESC, cell_id`). Each centroid is a folded literal
+    * array, so the whole ranking is nCells native [[cosine]] calls +
+    * one 16-element sort inside whole-stage codegen — no join, no
+    * shuffle, no UDF.
+    */
+  private def cellRanks(v: Column, centroids: Seq[(Long, Array[Double])]): Column =
+    sort_array(array(centroids.map { case (cid, cv) =>
+      struct((-round(cosine(v, array(cv.toIndexedSeq.map(lit): _*)), 6)).as("neg_cc"),
+        lit(cid).as("cell_id"))
+    }: _*))
+
+  /** Lazy IVF plan over an explicit centroid set (shared by the eager
+    * operator and the plan spec). Corpus side: one narrow projection
+    * computes each vector's cell (argmax centroid cosine) — the corpus
+    * is NEVER shuffled; candidates come from a broadcast join of the
+    * (bounded) query probe list against the cell-keyed corpus, scored
+    * with the native cosine, then the salted two-phase [[topK]]. At
+    * 100 TB the corpus is written bucketed/partitioned by `cell_id`, so
+    * a probe prunes to nProbe/nCells of the files before the scan —
+    * the reason IVF is the scale path over LSH's ×bands explosion.
+    */
+  private[graft] def knnIvfPlan(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Long, Array[Double])], k: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cell_id", element_at(cellRanks(col("cv"), centroids), 1).getField("cell_id"))
+    val qProbes = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("probe", explode(slice(cellRanks(col("qv"), centroids), 1, nProbe)))
+        .select(col("query_id"), col("qv"), col("probe.cell_id").as("cell_id")))
+    // each corpus vector lives in exactly one cell and a query's probe
+    // cells are distinct, so (query_id, neighbor_id) pairs are already
+    // unique — no distinct() pass
+    val scored = c.join(qProbes, "cell_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    topK(scored, k)
+  }
+
+  /** IVF-Flat top-k: identical output shape to [[knnBrute]]/[[knnLsh]],
+    * candidates restricted to the nProbe nearest coarse cells of each
+    * query. Recall, like LSH, is a function of query–neighbor cosine
+    * (a cos ≈ 0.9999 copy shares its source's top cell essentially
+    * always); brute force remains the exhaustive path.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = NumCells, nProbe: Int = NumProbes): DataFrame =
+    knnIvfPlan(corpus, queries, ivfCentroids(corpus, nCells), k, nProbe)
+
   /** [[nearDupPairs]] plus the dropped-bucket count. */
   def nearDupPairsCounted(corpus: DataFrame, threshold: Double = 0.99,
       maxBucket: Long = MaxBucketSize): CappedResult = {

@@ -103,6 +103,30 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF plan: corpus is never shuffled — probes broadcast, shuffles carry scored keys only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // cell assignment is a narrow projection over the corpus and the
+    // probe list is broadcast, so the only shuffles in the whole plan
+    // are the salted top-k windows over (query_id, neighbor_id, cos) —
+    // at 100 TB no embedding ever crosses an exchange
+    val v = graft.synth.EmbSynth.vectors(spark, TestSpark.sf0001)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cents = graft.sim.Similarity.ivfCentroids(v)
+      val df = graft.sim.Similarity.knnIvfPlan(v, v.where(col("vec_id") < 5), cents,
+        5, graft.sim.Similarity.NumProbes)
+      val p = df.queryExecution.executedPlan
+      assert(p.toString.contains("BroadcastHashJoin"), p.toString.take(500))
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "expected the top-k window shuffles")
+      for (e <- shuffles)
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          "IVF shuffle must carry scored keys only, got: " +
+            e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hijack exchanges carry (url, host, fp) keys only — no text/html below the fp shuffle") {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.types.BinaryType

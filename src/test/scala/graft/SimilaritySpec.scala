@@ -44,6 +44,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits / nq >= 0.9, s"copy recall = ${hits / nq}")
   }
 
+  test("IVF knn recall on high-similarity neighbors is >= 0.9") {
+    // a cos≈0.9999 copy shares its source's nearest coarse cell
+    // essentially always, so every copied query must retrieve its copy
+    // within NumProbes probed cells
+    val queries = vectors.where(col("vec_id") % EmbSynth.CopyEvery === 0 && !col("is_copy"))
+    val nq = queries.count().toDouble
+    val hits = Similarity.knnIvf(vectors, queries, k = 5)
+      .where(col("neighbor_id") === col("query_id") + EmbSynth.CopyIdOffset)
+      .count().toDouble
+    assert(hits / nq >= 0.9, s"copy recall = ${hits / nq}")
+  }
+
+  test("IVF with nProbe = nCells degenerates to exact brute-force top-k") {
+    // probing every cell removes the candidate restriction entirely, so
+    // the result must match knnBrute row-for-row — an end-to-end check
+    // that cell assignment partitions the corpus (no vector lost or
+    // duplicated across cells)
+    val queries = vectors.where(col("vec_id") < 7)
+    val brute = Similarity.knnBrute(vectors, queries, k = 4).collect().toSeq
+    val full = Similarity.knnIvf(vectors, queries, k = 4,
+      nProbe = Similarity.NumCells).collect().toSeq
+    assert(full == brute)
+  }
+
   test("LSH bucket sizes are bounded (max band bucket < 1% of corpus)") {
     val n = vectors.count().toDouble
     val maxBucket = vectors

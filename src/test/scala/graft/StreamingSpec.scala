@@ -92,6 +92,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.map(_(graft.model.CheckId.DeclaredVsDerivedLang)._2).sum > 0)
   }
 
+  test("streamed stateful dedup (flatMapGroupsWithState) equals batch fingerprint groups") {
+    val dir = Files.createTempDirectory("metricsspark_stream_dedup").toString
+    val pages = PageSynth.pages(spark, TestSpark.sf0001)
+    pages.repartition(6).write.mode("overwrite").parquet(dir)
+
+    val q = graft.streaming.StreamingDedup.start(spark, dir, "stream_dedup")
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin: per-fingerprint doc counts over the same rows
+    val batch = pages.where(col("text").isNotNull && col("warc_ts").isNotNull)
+      .groupBy(graft.text.TextOps.fingerprint(col("text")).as("fp")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // append mode emits exactly one event per arrival; with the default
+    // (unbounded-within-fixture) horizon nothing is evicted, so every
+    // fingerprint has exactly one first-seen event, n-1 duplicates, and
+    // a single retained representative across all its events
+    val streamed = spark.table("stream_dedup")
+      .groupBy("fp")
+      .agg(count("*").as("n"),
+        sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("dups"),
+        countDistinct("dup_of").as("reps"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (fp, (n, dups, reps)) =>
+      assert(n == batch(fp), s"fp $fp arrivals")
+      assert(dups == n - 1, s"fp $fp duplicates")
+      assert(reps == 1L, s"fp $fp must keep one representative")
+    }
+    // the fixture injects real duplicate texts — the event log must flag some
+    assert(streamed.values.map(_._2).sum > 0)
+  }
+
   test("multimodal feature extraction is deterministic and shuffle-free") {
     val pages = PageSynth.pages(spark, TestSpark.sf0001)
     def key(f: graft.multimodal.Features.PayloadFeatures) =
