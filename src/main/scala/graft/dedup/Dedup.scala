@@ -190,7 +190,7 @@ object Dedup {
       // of detonating the candidate join
       System.err.println(
         s"[dedup] $what: dropped $nOver LSH bucket(s) larger than $maxBucket reps " +
-          s"from candidate generation (max size ${oversized.agg(max("bn")).head.getLong(0)})")
+          s"from candidate generation (max size ${oversized.agg(max("bn")).head().getLong(0)})")
       (keyed.join(broadcast(oversized.select(keyCols.map(col): _*)), keyCols, "left_anti"),
         nOver)
     }

@@ -54,7 +54,10 @@ object StreamingDedup {
     * state idle past it (in event time) is evicted. Within one
     * micro-batch, arrivals of a fingerprint are ordered by
     * (warc_ts, url) so the batch split never changes which of two
-    * same-batch docs is the duplicate.
+    * same-batch docs is the duplicate. (That per-group sort materializes
+    * one fingerprint's arrivals *within one micro-batch* — bounded by
+    * the trigger size (`maxFilesPerTrigger`), not the corpus; a viral
+    * text spread over many batches costs one state row, not one group.)
     */
   def dedupEvents(stream: DataFrame, watermark: String = "2 days",
       horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[DedupEvent] = {
