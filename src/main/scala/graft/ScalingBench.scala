@@ -191,8 +191,8 @@ object ScalingBench {
            |
            || level | wall-clock (s) | validated docs/sec | verdict rows/sec | docs·checks/sec |
            ||---|---|---|---|---|
-           || local[$n] | ${"%.2f".format(tN)} | ${(docs / tN).round} | ${vRowsScope.map(v => (v / tN).round.toString).getOrElse("-")} | ${vRowsScope.map(_ => (docs * nChecks / tN).round.toString).getOrElse("-")} |
-           || local[$n4] | ${"%.2f".format(t4N)} | ${(docs / t4N).round} | ${vRowsScope.map(v => (v / t4N).round.toString).getOrElse("-")} | ${vRowsScope.map(_ => (docs * nChecks / t4N).round.toString).getOrElse("-")} |
+           || local[$n] | ${"%.2f".format(tN)} | ${(docs / tN).round} | ${vRowsScope.map(v => f"${v / tN}%.2f").getOrElse("-")} | ${vRowsScope.map(_ => (docs * nChecks / tN).round.toString).getOrElse("-")} |
+           || local[$n4] | ${"%.2f".format(t4N)} | ${(docs / t4N).round} | ${vRowsScope.map(v => f"${v / t4N}%.2f").getOrElse("-")} | ${vRowsScope.map(_ => (docs * nChecks / t4N).round.toString).getOrElse("-")} |
            |
            |(verdict rows/sec and docs·checks/sec normalize throughput by the
            |assessed scope — rows = (check, partition) verdicts per run,
