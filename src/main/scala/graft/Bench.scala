@@ -36,7 +36,11 @@ object Bench {
     // whichever query happens to sort first (previously the
     // alphabetically-first query absorbed ~5 s of it every run)
     for (w <- Seq("pages_dump", "stats_minmax"); fn <- SparkEntry.queries.get(w))
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        // visible failure: a broken warm-up silently reverts the bench
+        // to cold-first-query skew
+        System.err.println(s"[bench] warm-up query $w failed: $e")
+      }
 
     // per-operator timings on the raw sfDir corpus
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -65,8 +69,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val docsPerSec = (nDocs / tSuite).round
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","suite_docs":$nDocs,"suite_docs_per_sec":$docsPerSec}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","suite_docs":$nDocs,"suite_docs_per_sec":$docsPerSec}"""
+    println(line)
+    // durable copy: the driver captures stdout tails, which truncated
+    // the round-4 per-query head — cross-round comparisons read this
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_run.json"), line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH/last_run.json write failed: $e") }
     spark.stop()
   }
 }

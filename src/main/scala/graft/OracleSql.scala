@@ -846,7 +846,8 @@ object OracleSql {
     s"""$cte, $usedTermsCte
        |SELECT n_used, n_overlap, violations, value, value >= 0.4 AS pass FROM (
        |  SELECT n_used, n_overlap, n_used - n_overlap AS violations,
-       |    CAST(n_overlap AS DOUBLE) / CAST(n_used AS DOUBLE) AS value
+       |    CASE WHEN n_used = 0 THEN 1.0
+       |         ELSE CAST(n_overlap AS DOUBLE) / CAST(n_used AS DOUBLE) END AS value
        |  FROM (
        |    SELECT CAST(count(*) AS BIGINT) AS n_used,
        |      CAST(sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
@@ -864,7 +865,8 @@ object OracleSql {
     s"""$cte, $usedTermsCte, decl AS (${PageSynth.langDimDuck})
        |SELECT n_used, n_declared, n_overlap, value, value >= 0.8 AS pass FROM (
        |  SELECT n_used, n_declared, n_overlap,
-       |    CAST(n_overlap AS DOUBLE) / CAST(n_used AS DOUBLE) AS value
+       |    CASE WHEN n_used = 0 THEN 1.0
+       |         ELSE CAST(n_overlap AS DOUBLE) / CAST(n_used AS DOUBLE) END AS value
        |  FROM (
        |    SELECT CAST(count(*) AS BIGINT) AS n_used,
        |      (SELECT CAST(count(*) AS BIGINT) FROM decl) AS n_declared,
@@ -877,7 +879,7 @@ object OracleSql {
   private def langIsHostTerm(rel: String): String =
     s"EXISTS (SELECT 1 FROM (${PageSynth.hostDimDuck}) thd WHERE thd.host = $rel.lang)"
   private def hostIsLangTerm(rel: String): String =
-    s"EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) tld WHERE tld.lang = $hostExpr)"
+    s"EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) tld WHERE tld.lang = regexp_extract($rel.url, '$hostRe', 1))"
 
   /** Mirrors Vocabulary.misplacedByDay (#11). */
   val misplacedTerms: String =
@@ -945,11 +947,12 @@ object OracleSql {
   /** Mirrors Licensing.verdict. */
   val licenseVerdict: String =
     s"""$cte, $licFlagsCte
-       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       | CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-       | 1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
-       | (1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.5 AS pass
-       |FROM lflags""".stripMargin
+       |SELECT n_rows, violations, value, value >= 0.5 AS pass FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |   CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |   CASE WHEN count(*) = 0 THEN 1.0
+       |        ELSE 1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS value
+       |  FROM lflags) t""".stripMargin
 
   /** Mirrors Licensing.models (copyleft classifier). */
   val licenseModels: String =
@@ -1160,19 +1163,21 @@ object OracleSql {
          |   (SELECT CAST(count(*) - count(DISTINCT lab) AS BIGINT) FROM emblab) AS violations) t) u""".stripMargin
     // #18/#24 whole-table verdicts over the shared used-terms set
     val reusePart =
-      s"""SELECT 'reuse_terms' AS check_id, '*' AS pday,
-         | CAST(count(*) AS BIGINT) AS n_rows,
-         | CAST(count(*) - sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-         | CAST(sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
-         | (CAST(sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.4 AS pass
-         |FROM used""".stripMargin
+      s"""SELECT check_id, pday, n_rows, violations, value, value >= 0.4 AS pass FROM (
+         | SELECT 'reuse_terms' AS check_id, '*' AS pday,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |  CASE WHEN count(*) = 0 THEN 1.0
+         |       ELSE CAST(sum(CASE WHEN lang IN ($sugList) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS value
+         | FROM used) t""".stripMargin
     val vocabPart =
-      s"""SELECT 'vocab_usage' AS check_id, '*' AS pday,
-         | CAST(count(*) AS BIGINT) AS n_rows,
-         | CAST(count(*) - sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-         | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
-         | (CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.8 AS pass
-         |FROM used""".stripMargin
+      s"""SELECT check_id, pday, n_rows, violations, value, value >= 0.8 AS pass FROM (
+         | SELECT 'vocab_usage' AS check_id, '*' AS pday,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |  CASE WHEN count(*) = 0 THEN 1.0
+         |       ELSE CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM (${PageSynth.langDimDuck}) decl WHERE decl.lang = used.lang) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS value
+         | FROM used) t""".stripMargin
     val hijackPart =
       s"""SELECT 'hijack_content' AS check_id, '*' AS pday, n_rows, violations, value, value >= 0.5 AS pass FROM (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -1182,12 +1187,13 @@ object OracleSql {
          |  FROM hf) t""".stripMargin
     // #37 license-indication + #20 registry-format whole-table verdicts
     val licensePart =
-      s"""SELECT 'license_indication' AS check_id, '*' AS pday,
-         | CAST(count(*) AS BIGINT) AS n_rows,
-         | CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-         | 1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value,
-         | (1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.5 AS pass
-         |FROM lflags""".stripMargin
+      s"""SELECT check_id, pday, n_rows, violations, value, value >= 0.5 AS pass FROM (
+         | SELECT 'license_indication' AS check_id, '*' AS pday,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |  CASE WHEN count(*) = 0 THEN 1.0
+         |       ELSE 1.0 - CAST(sum(CASE WHEN has_machine = 0 AND has_human = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS value
+         | FROM lflags) t""".stripMargin
     val serialPart =
       s"""SELECT 'serial_formats' AS check_id, '*' AS pday,
          | (SELECT CAST(count(*) AS BIGINT) FROM fmatch) AS n_rows,

@@ -40,38 +40,39 @@ object ProfileSuite {
     }
     val dims = Dims.default(spark)
     val pages = PageTable.read(spark, root).drop("pday")
-    val joined = graft.text.TextOps.withDerived(pages)
-      .withColumn("host", Referential.hostExpr)
-      .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
-      .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
-      .join(broadcast(dims.depDim.withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
-      .join(broadcast(dims.hostDim.withColumnRenamed("host", "lang")
-        .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
-      .join(broadcast(dims.langDim.withColumnRenamed("lang", "host")
-        .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
+    val joined = CheckSuite.joinDims(pages, dims)
     val allPreds = Conformance.preds ++ CheckSuite.refPreds ++ graft.text.TextOps.preds
     t("warm_count")(pages.count())
-    t("perday_fused_agg")(FusedChecks.resultsByDay(joined, allPreds).count())
-    t("completeness")(Completeness.verdictRows(pages, dims.langDim).count())
-    t("est_conform_url")(Sampling.estimatedUrlConformance(pages).count())
+    // the ONE corpus scan: atoms build + checkpoint materialization
+    val atoms = graft.runtime.Atoms.frame(joined, allPreds).localCheckpoint(false)
+    t("atoms_scan")(atoms.count())
+    // everything below aggregates atoms checkpoint blocks
+    t("perday_fused_agg")(FusedChecks.wideByDay(atoms, allPreds,
+      Sampling.estUrlAggsAtoms() ++ Sampling.estDeclaredAggsAtoms()).count())
+    t("completeness")(Completeness.verdictRows(atoms, dims.langDim).count())
     t("viol_fused")(
-      FusedChecks.violations(joined, allPreds, ordered = false).count())
-    t("viol_missing_members")(Completeness.missingLangMembers(pages, dims.langDim).count())
-    t("uniq_verdict")(Uniqueness.urlUniqueness(pages).count())
-    t("dup_text_verdict")(CheckSuite.dupTextVerdict(pages).count())
-    t("drift_combined")(Drift.combined(pages).count())
-    t("exists")(Exists.verdictRows(pages).count())
-    val masks = Disjoint.entityMasks(pages, dims.famDim)
+      FusedChecks.violationsFromMasks(atoms, allPreds, ordered = false).count())
+    t("viol_missing_members")(Completeness.missingLangMembers(atoms, dims.langDim).count())
+    t("uniq_verdict")(Uniqueness.urlUniqueness(atoms).count())
+    t("dup_text_verdict")(CheckSuite.dupTextVerdictFromAtoms(atoms).count())
+    t("drift_combined")(Drift.combined(atoms).count())
+    t("exists")(Exists.verdictRowsFromAtoms(atoms).count())
+    val masks = Disjoint.entityMasks(atoms, dims.famDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("disjoint_verdict")(Disjoint.verdictFrom(masks).count())
     t("disjoint_violations")(
-      CheckSuite.disjointViolations(pages, dims.famDim, masks).count())
+      CheckSuite.disjointViolations(atoms, dims.famDim, masks).count())
     masks.unpersist()
-    t("viol_uniq")(Uniqueness.violations(pages, ordered = false).count())
+    t("prov_flags")(Provenance.hostFlagsFromAtoms(atoms).count())
+    t("license_flags")(Licensing.hostFlagsFromAtoms(atoms).count())
+    t("hijack_stats")(Hijack.groupHostStatsFromAtoms(atoms, dims.hostDim).count())
+    t("serial_formats")(Formats.verdictRowFromAtoms(atoms, Formats.formatDim(spark)).count())
+    t("vocab_used_terms")(Vocabulary.usedTermsFrame(atoms).count())
+    t("viol_uniq")(Uniqueness.violations(atoms, ordered = false).count())
     t("viol_cap_write")(
       CheckSuite.capViolations(
-        FusedChecks.violations(joined, allPreds, ordered = false)
-          .unionByName(Uniqueness.violations(pages, ordered = false)),
+        FusedChecks.violationsFromMasks(atoms, allPreds, ordered = false)
+          .unionByName(Uniqueness.violations(atoms, ordered = false)),
         CheckSuite.MaxViolationRows)
         .withColumn("run_id", lit("prof"))
         .write.mode(SaveMode.Append).parquet(s"$root/violations"))

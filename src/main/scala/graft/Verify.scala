@@ -16,6 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) { // fail fast: a typo must not verify nothing
+      System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}\n" +
+        s"[verify] valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap

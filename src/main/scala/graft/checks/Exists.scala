@@ -40,6 +40,16 @@ object Exists {
   private[graft] def flagsFrame(pages: DataFrame): DataFrame =
     pages.select(checks.map(c => c.pred.as(c.id)): _*)
 
+  /** The same probe flags over the suite's atoms frame (payload
+    * presence / text non-emptiness are pre-derived booleans there —
+    * the probe never touches the corpus).
+    */
+  private[graft] def atomsFlags(atoms: DataFrame): DataFrame =
+    atoms.select(
+      col("has_html").as(CheckId.ExistsHtml),
+      col("url").startsWith("https://").as(CheckId.ExistsHttpsUrl),
+      (col("lang") === "en" && col("text_ok")).as(CheckId.ExistsEnText))
+
   /** Run every probe; output (check_id, value ∈ {0,1}, pass), one row
     * per check, in declaration order.
     *
@@ -51,10 +61,12 @@ object Exists {
     * per-check `filter(pred).limit(1).count()` probes were 3 serial
     * jobs, and each *negative* probe was its own full table scan.
     */
-  def results(pages: DataFrame): DataFrame = {
-    val spark = pages.sparkSession
+  def results(pages: DataFrame): DataFrame =
+    resultsOverFlags(flagsFrame(pages))
+
+  private def resultsOverFlags(flags: DataFrame): DataFrame = {
+    val spark = flags.sparkSession
     import spark.implicits._
-    val flags = flagsFrame(pages)
     def fusedScan(df: DataFrame, cs: Seq[ExistsCheck]): Map[String, Long] = {
       val aggs = cs.map(c =>
         coalesce(max(when(col(c.id), 1L).otherwise(0L)), lit(0L)).as(c.id))
@@ -72,7 +84,14 @@ object Exists {
 
   /** Probe rows in the suite's CheckResult shape (pday '*'). */
   def verdictRows(pages: DataFrame): DataFrame =
-    results(pages).select(
+    rowsFrom(results(pages))
+
+  /** [[verdictRows]] over the suite's atoms frame. */
+  def verdictRowsFromAtoms(atoms: DataFrame): DataFrame =
+    rowsFrom(resultsOverFlags(atomsFlags(atoms)))
+
+  private def rowsFrom(res: DataFrame): DataFrame =
+    res.select(
       col("check_id"), lit("*").as("pday"),
       lit(1L).as("n_rows"),
       (lit(1L) - col("value")).as("violations"),

@@ -70,7 +70,21 @@ object Formats {
   // pass = at least one registry format declared) ———
 
   def verdictRow(pages: DataFrame, dim: DataFrame): DataFrame =
-    formatsCount(pages, dim).select(
+    rowFromCounts(formatsCount(pages, dim))
+
+  /** [[verdictRow]] over the suite's atoms frame (extension already
+    * extracted by the one corpus scan).
+    */
+  def verdictRowFromAtoms(atoms: DataFrame, dim: DataFrame): DataFrame =
+    rowFromCounts(
+      atoms.where(col("ext").isNotNull && col("ext") =!= "")
+        .select(col("ext"))
+        .join(broadcast(dim), Seq("ext"))
+        .agg(countDistinct(col("format")).as("n_formats"),
+          count(lit(1)).as("n_rows")))
+
+  private def rowFromCounts(counts: DataFrame): DataFrame =
+    counts.select(
       lit(CheckId.SerialFormats).as("check_id"), lit("*").as("pday"),
       col("n_rows"), lit(0L).as("violations"),
       col("n_formats").cast("double").as("value"),

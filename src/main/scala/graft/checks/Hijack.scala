@@ -52,8 +52,21 @@ object Hijack {
     * self-aggregation + broadcast dim join — no per-page join-back, so
     * the verdict never shuffles page rows twice.
     */
-  def groupHostStats(pages: DataFrame, hostDim: DataFrame): DataFrame = {
-    val byHost = defs(pages)
+  def groupHostStats(pages: DataFrame, hostDim: DataFrame): DataFrame =
+    statsFromDefs(defs(pages), hostDim)
+
+  /** [[groupHostStats]] over the suite's atoms frame: the md5
+    * content fingerprint is already materialized by the one corpus
+    * scan, so the family starts at the (fp, host) aggregation.
+    */
+  def groupHostStatsFromAtoms(atoms: DataFrame, hostDim: DataFrame): DataFrame =
+    statsFromDefs(
+      atoms.where(col("fp").isNotNull && col("host") =!= "")
+        .select(col("url"), col("host"), col("fp")),
+      hostDim)
+
+  private def statsFromDefs(d: DataFrame, hostDim: DataFrame): DataFrame = {
+    val byHost = d
       .groupBy(col("fp"), col("host"))
       .agg(count(lit(1)).as("n"), min(col("url")).as("min_url"))
     val byFp = byHost.groupBy(col("fp"))

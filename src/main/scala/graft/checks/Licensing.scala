@@ -39,37 +39,53 @@ object Licensing {
     */
   val CopyleftRegex = "^CC(-|0)"
 
-  private def humanHit(text: Column): Column =
+  private[graft] def humanHit(text: Column): Column =
     HumanBank.map(w => text.contains(w)).reduce(_ || _)
 
   private def machineLic(html: Column): Column =
     when(html.isNotNull, graft.multimodal.Multimodal.licenseOf(html))
 
   /** Per-host license flags: (host, n_rows, has_machine, has_human).
-    * One scan; the license value reads at a fixed offset (no parsing),
-    * the human bank is a contains-OR over text.
+    * One scan; the license value reads at a fixed offset (no parsing,
+    * materialized once below the aggregate), the human bank is a
+    * contains-OR over text.
     */
   def hostFlags(pages: DataFrame): DataFrame =
     pages.withColumn("host", Referential.hostExpr)
+      .withColumn("lic", machineLic(col("html")))
       .where(col("host") =!= "")
       .groupBy(col("host"))
       .agg(
         count(lit(1)).as("n_rows"),
-        max(when(machineLic(col("html")).isNotNull &&
-          machineLic(col("html")) =!= PageSynth.NoLicense, 1L).otherwise(0L)).as("has_machine"),
+        max(when(col("lic").isNotNull &&
+          col("lic") =!= PageSynth.NoLicense, 1L).otherwise(0L)).as("has_machine"),
         max(when(col("text").isNotNull && humanHit(col("text")), 1L).otherwise(0L)).as("has_human"))
       .orderBy("host")
 
+  /** [[hostFlags]] over the suite's atoms frame (license value and
+    * human-bank hit already materialized by the one corpus scan).
+    */
+  def hostFlagsFromAtoms(atoms: DataFrame): DataFrame =
+    atoms.where(col("host") =!= "")
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(when(col("license").isNotNull &&
+          col("license") =!= PageSynth.NoLicense, 1L).otherwise(0L)).as("has_machine"),
+        max(when(col("lic_human"), 1L).otherwise(0L)).as("has_human"))
+
   /** Verdict from a pre-built flags frame: a host passes when it
     * indicates a license in EITHER form; violations = hosts with no
-    * license indication at all.
+    * license indication at all. Empty input → value 1.0 (nothing to
+    * license), matching the fused-family convention.
     */
   def verdictFromFlags(fl: DataFrame, threshold: Double = 0.5): DataFrame =
     fl.agg(count(lit(1)).as("n_rows"),
         sum(when(col("has_machine") === 0 && col("has_human") === 0, 1L)
           .otherwise(0L)).as("violations"))
       .withColumn("value",
-        lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double"))
+        when(col("n_rows") === 0, 1.0).otherwise(
+          lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double")))
       .withColumn("pass", col("value") >= threshold)
 
   /** Single-row verdict: (n_rows = hosts, violations, value, pass). */

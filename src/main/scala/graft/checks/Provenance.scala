@@ -38,6 +38,19 @@ object Provenance {
         max(when(textOk, 1L).otherwise(0L)).as("has_text"))
       .orderBy("host")
 
+  /** [[hostFlags]] over the suite's atoms frame: url validity and text
+    * presence are pre-derived flags, host is pre-extracted — the
+    * aggregation reads checkpoint blocks, not the corpus.
+    */
+  def hostFlagsFromAtoms(atoms: DataFrame): DataFrame =
+    atoms.where(col("host") =!= "")
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(when(col("url_valid") && col("url").startsWith("https://"), 1L)
+          .otherwise(0L)).as("has_https"),
+        max(when(col("text_ok"), 1L).otherwise(0L)).as("has_text"))
+
   /** Whole-table verdict from a pre-built flag frame: value = hosts with
     * both provenance markers / hosts.
     */

@@ -157,6 +157,32 @@ object Sampling {
       sum(when(confident && col("detected_lang") =!= col("lang"), 1L).otherwise(0L)).as("estd_b"))
   }
 
+  /** [[estUrlAggs]] over the suite's atoms frame: url validity and the
+    * u256 sample gate are pre-derived columns there, so the counters
+    * are pure boolean arithmetic (no md5 recomputation). Counted sets
+    * are identical to [[estUrlAggs]] — url_valid ≡ (url IS NOT NULL AND
+    * valid), so ¬url_valid under the applicable (non-null) gate ≡ the
+    * predicate's `bad`.
+    */
+  def estUrlAggsAtoms(): Seq[org.apache.spark.sql.Column] = Seq(
+    sum(when(col("url").isNotNull, 1L).otherwise(0L)).as("estu_n"),
+    sum(when(col("url").isNotNull && col("in_sample"), 1L).otherwise(0L)).as("estu_s"),
+    sum(when(col("url").isNotNull && col("in_sample") && !col("url_valid"), 1L)
+      .otherwise(0L)).as("estu_b"))
+
+  /** [[estDeclaredAggs]] over the suite's atoms frame (text_ok ≡
+    * text IS NOT NULL AND length > 0).
+    */
+  def estDeclaredAggsAtoms(): Seq[org.apache.spark.sql.Column] = {
+    val appl = col("text_ok") && col("lang").isNotNull
+    val confident = appl && col("in_sample") && col("detected_lang") =!= "und"
+    Seq(
+      sum(when(appl, 1L).otherwise(0L)).as("estd_n"),
+      sum(when(confident, 1L).otherwise(0L)).as("estd_s"),
+      sum(when(confident && col("detected_lang") =!= col("lang"), 1L)
+        .otherwise(0L)).as("estd_b"))
+  }
+
   /** Estimate verdict rows from the wide frame's (n, sampled, bad)
     * counters; identical arithmetic to the standalone queries.
     */

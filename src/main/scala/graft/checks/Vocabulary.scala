@@ -102,7 +102,10 @@ object Vocabulary {
         sum(when(col("lang").isin(suggested: _*), 1L).otherwise(0L)).as("n_overlap"))
       .select(col("n_used"), col("n_overlap"),
         (col("n_used") - col("n_overlap")).as("violations"),
-        (col("n_overlap").cast("double") / col("n_used").cast("double")).as("value"))
+        // empty-corpus guard (nothing used → vacuously conformant),
+        // matching the fused-family NaN → 1.0 convention
+        when(col("n_used") === 0, 1.0).otherwise(
+          col("n_overlap").cast("double") / col("n_used").cast("double")).as("value"))
       .withColumn("pass", col("value") >= threshold)
 
   /** #18 single-row verdict: value = |used ∩ suggested| / |used|.
@@ -131,15 +134,20 @@ object Vocabulary {
 
   /** #24 verdict over a pre-built used-terms frame. */
   def vocabUsageFromUsed(used: DataFrame, langDim: DataFrame,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8): DataFrame = {
+    // the declared-vocabulary cardinality is a broadcast-size constant;
+    // resolving it driver-side drops the 1-row crossJoin from the plan
+    val nDeclared = langDim.count()
     used
       .join(broadcast(langDim.withColumn("decl", lit(true))), Seq("lang"), "left")
       .agg(count(lit(1)).as("n_used"),
         sum(when(col("decl"), 1L).otherwise(0L)).as("n_overlap"))
-      .crossJoin(langDim.agg(count(lit(1)).as("n_declared")))
-      .select(col("n_used"), col("n_declared"), col("n_overlap"),
-        (col("n_overlap").cast("double") / col("n_used").cast("double")).as("value"))
+      .select(col("n_used"), lit(nDeclared).as("n_declared"), col("n_overlap"),
+        // empty-corpus guard, matching the fused-family convention
+        when(col("n_used") === 0, 1.0).otherwise(
+          col("n_overlap").cast("double") / col("n_used").cast("double")).as("value"))
       .withColumn("pass", col("value") >= threshold)
+  }
 
   /** #24 single-row verdict: value = |used ∩ declared| / |used| against
     * the dataset's declared vocabulary indication (lang_dim).

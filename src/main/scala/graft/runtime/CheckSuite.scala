@@ -98,39 +98,31 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         .where(col("pday").isin(remaining: _*))
         .drop("pday")
 
-      // ONE scan for the whole per-day predicate family: broadcast-join
-      // the dimension snapshots, derive the text columns once, then
-      // run conformance + referential + text checks as one fused agg.
-      val joined = graft.text.TextOps.withDerived(pages)
-        .withColumn("host", Referential.hostExpr)
-        .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
-        .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
-        .join(broadcast(dims.depDim.withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
-        // #11 misplaced-term flags: the wrong-kind vocabulary per position
-        .join(broadcast(dims.hostDim.withColumnRenamed("host", "lang")
-          .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
-        .join(broadcast(dims.langDim.withColumnRenamed("lang", "host")
-          .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
+      // ONE corpus scan for EVERYTHING: broadcast-join the dimension
+      // snapshots, derive the text columns once, fold the predicate
+      // bank into two long bitmasks (FusedChecks.maskFrame — the
+      // verdict agg is pure bit-math; the round-2 profile measured ~12
+      // heavy re-evaluations per row on the naive fused spelling), then
+      // reduce every row to the narrow checkpointed "atoms" projection
+      // ([[Atoms.frame]], ~100 B/row). The per-day fused aggregate, the
+      // batch violation listing AND every whole-table family aggregate
+      // the atoms blocks — round 4 paid ~10-12 independent corpus-scale
+      // scans in the concurrent phase; this pays one.
+      val joined = CheckSuite.joinDims(pages, dims)
       val allPreds = Conformance.preds ++ CheckSuite.refPreds ++ graft.text.TextOps.preds
-      // the predicate bank folds into two long bitmasks (FusedChecks.
-      // maskFrame): the verdict agg is pure bit-math and the violations
-      // pass builds detail strings only for rows whose violation mask is
-      // non-zero — the round-2 profile measured ~12 heavy re-evaluations
-      // per row on the naive fused spelling, and 20-100× overhead for
-      // per-pred flag/detail columns or a columnar cache of them.
-      // Both sampled-estimate families ride the same aggregate as extra
-      // counter columns — one table pass for the whole per-day family,
-      // not one per estimate. The 47-row wide frame is lazily
-      // checkpointed: materialized once (by the concurrent phase below,
-      // or the results write), then every consumer reads the blocks.
-      val wide = FusedChecks.wideByDay(FusedChecks.maskFrame(joined, allPreds), allPreds,
-          Sampling.estUrlAggs() ++ Sampling.estDeclaredAggs())
+      val atoms = Atoms.frame(joined, allPreds).localCheckpoint(false)
+      // Both sampled-estimate families ride the per-day aggregate as
+      // extra counter columns — one atoms pass for the whole per-day
+      // family, not one per estimate. The 47-row wide frame is lazily
+      // checkpointed: materialized once, then every consumer reads it.
+      val wide = FusedChecks.wideByDay(atoms, allPreds,
+          Sampling.estUrlAggsAtoms() ++ Sampling.estDeclaredAggsAtoms())
         .localCheckpoint(false)
       val fusedByDay = FusedChecks.resultsFromWide(wide, allPreds)
 
-      // expected-member completeness stays its own tiny column-pruned
-      // aggregation (different grouping); the estimates come from `wide`
-      val completeness = Completeness.verdictRows(pages, dims.langDim)
+      // expected-member completeness stays its own tiny aggregation
+      // (different grouping); the estimates come from `wide`
+      val completeness = Completeness.verdictRows(atoms, dims.langDim)
       val estimated = Sampling.estRowsFromWide(wide, CheckId.EstUrlConformance,
         "estu_n", "estu_s", "estu_b", Conformance.byId("conform_url").threshold)
       val estDeclared = Sampling.estRowsFromWide(wide, CheckId.EstDeclaredVsDerived,
@@ -139,8 +131,8 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         .unionByName(estDeclared)
 
       val batchViol =
-        FusedChecks.violations(joined, allPreds, ordered = false)
-          .unionByName(Completeness.missingLangMembers(pages, dims.langDim))
+        FusedChecks.violationsFromMasks(atoms, allPreds, ordered = false)
+          .unionByName(Completeness.missingLangMembers(atoms, dims.langDim))
 
       // whole-table checks (full table, keyed pday='*') with the final
       // batch only — they are not per-partition decomposable. Their
@@ -197,42 +189,60 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // throw most of it away at write time stored corpus-scale blocks
         def cappedSnap(df: DataFrame): DataFrame =
           snap(CheckSuite.capViolations(df, CheckSuite.MaxViolationRows))
+        // raw corpus: read ONLY by the near-dup shingling pipeline
+        // (which needs the text bytes); every other family reads atoms
         val full = PageTable.read(spark, tableRoot).drop("pday")
+        // fresh complete run (the common, benched path): the batch IS
+        // the table, so the whole-table families share the batch atoms.
+        // Resumed final batch: the batch is a subset — build full-table
+        // atoms for the whole-table families (one extra corpus scan,
+        // paid only on resume).
+        val wholeAtoms =
+          if (done.isEmpty) atoms
+          else Atoms.frame(CheckSuite.joinDims(full, dims), allPreds)
+            .localCheckpoint(false)
+        // Materialize the atoms checkpoint FIRST — this is THE corpus
+        // scan (fully parallel); everything after it aggregates local
+        // checkpoint blocks. Launching the families concurrently over a
+        // still-lazy checkpoint would compute the scan once per racing
+        // job.
+        phase("atoms_scan") { atoms.count(); () }
+        if (!(wholeAtoms eq atoms)) phase("atoms_full_scan") { wholeAtoms.count(); () }
         // one groupBy(url-hash-pair) bit_or shuffle serves both the
         // disjoint verdict and its violation listing; the per-host flag
         // frame serves the provenance verdict + listing. Both are
         // unpersisted as soon as their family future has materialized
         // its (tiny, checkpointed) verdict + listing frames.
-        val disjointMasks = Disjoint.entityMasks(full, dims.famDim)
+        val disjointMasks = Disjoint.entityMasks(wholeAtoms, dims.famDim)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val provFlags = Provenance.hostFlags(full)
+        val provFlags = Provenance.hostFlagsFromAtoms(wholeAtoms)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Every whole-table family materializes its verdict + listing
         // as a tiny checkpointed frame INSIDE the concurrent phase —
         // after the joins below, assembling results/violations touches
         // no corpus-scale plan, so the post-phase tail is near zero.
-        val fWide = track(phase("perday_scan") { wide.count(); () })
-        val fCompl = track(phase("completeness_scan")(snap(completeness)))
-        val fDrift = track(phase("drift_collect")(Drift.combined(full)))
-        val fExists = track(phase("exists_probes")(Exists.verdictRows(full)))
+        val fWide = track(phase("perday_agg") { wide.count(); () })
+        val fCompl = track(phase("completeness_agg")(snap(completeness)))
+        val fDrift = track(phase("drift_collect")(Drift.combined(wholeAtoms)))
+        val fExists = track(phase("exists_probes")(Exists.verdictRowsFromAtoms(wholeAtoms)))
         val fUniqV = track(phase("uniq_verdict")(snap(
-          Uniqueness.urlUniqueness(full).select(
+          Uniqueness.urlUniqueness(wholeAtoms).select(
             lit(CheckId.UrlUniqueness).as("check_id"), lit("*").as("pday"),
             col("n_rows"), col("dup_rows").as("violations"), col("value"),
             (col("value") >= 0.99).as("pass")))))
         val fUniqViol = track(phase("uniq_dup_hashes")(cappedSnap(
-          Uniqueness.violations(full, ordered = false))))
+          Uniqueness.violations(wholeAtoms, ordered = false))))
         val fDupTextV = track(phase("duptext_verdict")(snap(
-          CheckSuite.dupTextVerdict(full))))
+          CheckSuite.dupTextVerdictFromAtoms(wholeAtoms))))
         val fDupTextViol = track(phase("duptext_viol")(cappedSnap(
-          CheckSuite.dupTextViolations(full))))
+          CheckSuite.dupTextViolationsFromAtoms(wholeAtoms))))
         val fDisjoint = track(phase("disjoint_family") {
           disjointMasks.count()
           val v = snap(Disjoint.verdictFrom(disjointMasks).select(
             lit(CheckId.DisjointLang).as("check_id"), lit("*").as("pday"),
             col("n_entities").as("n_rows"), col("violations"), col("value"),
             col("pass")))
-          val viol = cappedSnap(CheckSuite.disjointViolations(full, dims.famDim, disjointMasks))
+          val viol = cappedSnap(CheckSuite.disjointViolations(wholeAtoms, dims.famDim, disjointMasks))
           disjointMasks.unpersist()
           (v, viol)
         })
@@ -254,9 +264,9 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // #1's analog over the embedding corpus: hyperplane-LSH pairs →
         // connected components → verdict + per-cluster problem bag, the
         // same value/violation shape as near_dup_text
-        // #18 + #24 share one corpus-scale distinct-terms frame
+        // #18 + #24 share one tag-cardinality distinct-terms frame
         val fVocabFam = track(phase("vocab_family") {
-          val used = Vocabulary.usedTermsFrame(full).localCheckpoint(true)
+          val used = Vocabulary.usedTermsFrame(wholeAtoms).localCheckpoint(true)
           (snap(Vocabulary.reuseVerdictRow(used)),
             snap(Vocabulary.vocabUsageVerdictRow(used, dims.langDim)),
             cappedSnap(Vocabulary.reuseViolations(used)))
@@ -264,17 +274,17 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // #37: per-host license flags (host-cardinality) materialized
         // once; verdict + no-license listing derive from them
         val fLicense = track(phase("license_family") {
-          val fl = Licensing.hostFlags(full).localCheckpoint(true)
+          val fl = Licensing.hostFlagsFromAtoms(wholeAtoms).localCheckpoint(true)
           (snap(Licensing.verdictRowFromFlags(fl)),
             cappedSnap(Licensing.violationsFromFlags(fl)))
         })
         // #20: registry-format count (Integer-valued metric)
         val fSerial = track(phase("serial_formats")(snap(
-          Formats.verdictRow(full, Formats.formatDim(spark)))))
-        // #13: ONE corpus scan reduces to group-cardinality hijack
-        // stats; verdict + grouped listing derive from that tiny frame
+          Formats.verdictRowFromAtoms(wholeAtoms, Formats.formatDim(spark)))))
+        // #13: atoms reduce to group-cardinality hijack stats;
+        // verdict + grouped listing derive from that tiny frame
         val fHijack = track(phase("hijack_family") {
-          val st = Hijack.groupHostStats(full, dims.hostDim).localCheckpoint(true)
+          val st = Hijack.groupHostStatsFromAtoms(wholeAtoms, dims.hostDim).localCheckpoint(true)
           (snap(Hijack.verdictRowFromStats(st)),
             cappedSnap(Hijack.violationsFromStats(st)))
         })
@@ -390,6 +400,22 @@ object CheckSuite {
         t.setDaemon(true)
         t
       }))
+
+  /** Page frame decorated for the fused predicate bank: derived text
+    * columns, extracted host, and the broadcast dimension-snapshot
+    * flags every referential/vocabulary predicate reads.
+    */
+  def joinDims(pages: DataFrame, dims: Dims): DataFrame =
+    graft.text.TextOps.withDerived(pages)
+      .withColumn("host", Referential.hostExpr)
+      .join(broadcast(dims.hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
+      .join(broadcast(dims.langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
+      .join(broadcast(dims.depDim.withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
+      // #11 misplaced-term flags: the wrong-kind vocabulary per position
+      .join(broadcast(dims.hostDim.withColumnRenamed("host", "lang")
+        .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
+      .join(broadcast(dims.langDim.withColumnRenamed("lang", "host")
+        .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
 
   /** Referential checks expressed as fused predicates over the
     * dim-joined frame (host_known/lang_known null ⇔ missing from the
@@ -544,6 +570,44 @@ object CheckSuite {
         col("n_rows"), col("violations"),
         (col("distinct_texts").cast("double") / col("n_rows").cast("double")).as("value"))
       .withColumn("pass", col("value") >= 0.9)
+
+  /** [[dupTextVerdict]] over the atoms frame: the text hash is already
+    * materialized (`text_xxh`, null unless non-empty), so the family
+    * never touches the corpus. Identical grouping — equal texts hash
+    * equal; the 64-bit collision analysis in
+    * [[graft.checks.Uniqueness.urlUniqueness]] applies.
+    */
+  def dupTextVerdictFromAtoms(atoms: DataFrame): DataFrame =
+    atoms.where(col("text_ok"))
+      .select(col("text_xxh").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("distinct_texts"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("violations"))
+      .select(
+        lit(CheckId.TextDuplicates).as("check_id"), lit("*").as("pday"),
+        col("n_rows"), col("violations"),
+        (col("distinct_texts").cast("double") / col("n_rows").cast("double")).as("value"))
+      .withColumn("pass", col("value") >= 0.9)
+
+  /** [[dupTextViolations]] over the atoms frame (same group counts and
+    * representative min_url; keyed by the pre-materialized text hash).
+    */
+  def dupTextViolationsFromAtoms(atoms: DataFrame): DataFrame =
+    atoms.where(col("text_ok"))
+      .groupBy(col("text_xxh"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("url")).as("n_urls"),
+        min(col("url")).as("min_url"))
+      .where(col("n_rows") > 1)
+      .select(
+        lit(CheckId.TextDuplicates).as("check_id"),
+        lit(graft.model.ViolationKind.DuplicateContent).as("kind"),
+        lit("*").as("pday"),
+        col("min_url").as("url"),
+        concat(col("n_rows"), lit(" docs share identical text ("),
+          col("n_urls"), lit(" urls)")).as("detail"))
 
   /** Disjoint-membership violation rows (the problem-report analog of
     * AdvancedEntitiesAsMembersOfDisjointClasses.createProblemModel),
