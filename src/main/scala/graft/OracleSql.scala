@@ -424,10 +424,26 @@ object OracleSql {
   private val profiles = graft.text.TextOps.StopwordProfiles
   private val scoreCols = profiles.map { case (l, ws) => s"${hitsDuck(ws)} AS s_$l" }.mkString(", ")
   private val bestExpr = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+  private val totExpr = profiles.map(p => s"s_${p._1}").mkString("(", " + ", ")")
+  /** Banded detector (mirrors TextOps.bandedArgmax): relations must
+    * expose `ntok`, `best`, `tot` alongside the s_* scores.
+    */
   private val detectedDuck = {
-    val cases = profiles.map { case (l, _) => s"WHEN best >= 2 AND s_$l = best THEN '$l'" }
-    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+    val argmax = profiles.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+    val amx = s"CASE ${argmax.mkString(" ")} ELSE 'und' END"
+    val thr = s"(CASE WHEN ntok >= ${graft.text.TextOps.LongBandTokens} " +
+      s"THEN ${graft.text.TextOps.LongConfidence} ELSE ${graft.text.TextOps.ShortConfidence} END)"
+    s"""(CASE WHEN ntok <= ${graft.text.TextOps.WordBandTokens}
+       | THEN (CASE WHEN tot >= 1 AND best = tot THEN $amx ELSE 'und' END)
+       | WHEN best >= 2 AND CAST(best AS DOUBLE) / CAST(tot AS DOUBLE) >= $thr THEN $amx
+       | ELSE 'und' END)""".stripMargin.replace('\n', ' ')
   }
+  /** Lexicon hits of the DECLARED language (TextOps.declaredHitsFromStats). */
+  private val declHitsDuck = {
+    val cases = profiles.map { case (l, _) => s"WHEN lang = '$l' THEN s_$l" }
+    s"(CASE ${cases.mkString(" ")} ELSE 0 END)"
+  }
+  private val profLangList = profiles.map(p => s"'${p._1}'").mkString(", ")
 
   val textTokens: String =
     s"""$cte SELECT pday, CAST(count(*) AS BIGINT) AS n_docs,
@@ -457,24 +473,31 @@ object OracleSql {
 
   val textLangId: String =
     s"""$cte, s AS (
-       | SELECT coalesce(lang, 'null') AS declared, $scoreCols
+       | SELECT coalesce(lang, 'null') AS declared, $nTokDuck AS ntok, $scoreCols
        | FROM pages WHERE text IS NOT NULL AND length(text) > 0),
-       |d AS (SELECT declared, $detectedDuck AS detected FROM (SELECT *, $bestExpr AS best FROM s) t)
+       |d AS (SELECT declared, $detectedDuck AS detected FROM (SELECT *, $bestExpr AS best, $totExpr AS tot FROM s) t)
        |SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
        |FROM d GROUP BY declared, detected ORDER BY declared, detected""".stripMargin
 
-  val textDeclaredVsDerived: String =
+  val textDeclaredVsDerived: String = {
+    val wb = graft.text.TextOps.WordBandTokens
     s"""$cte, s AS (
-       | SELECT pday, lang, $scoreCols
-       | FROM pages WHERE text IS NOT NULL AND length(text) > 0),
-       |d AS (SELECT pday, lang, $detectedDuck AS detected
-       |      FROM (SELECT *, $bestExpr AS best FROM s) t)
-       |SELECT pday, n_rows, violations, value, value >= 0.5 AS pass FROM (
-       | SELECT pday, CAST(count(*) AS BIGINT) AS n_rows,
-       |   CAST(sum(CASE WHEN lang <> detected THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-       |   1.0 - CAST(sum(CASE WHEN lang <> detected THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
-       | FROM d WHERE detected <> 'und' AND lang IS NOT NULL GROUP BY pday) t
+       | SELECT pday, lang, $nTokDuck AS ntok, $scoreCols
+       | FROM pages WHERE text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL),
+       |d AS (SELECT pday, lang, ntok, $declHitsDuck AS dhits, $detectedDuck AS detected
+       |      FROM (SELECT *, $bestExpr AS best, $totExpr AS tot FROM s) t)
+       |SELECT pday, n_rows, violations, n_und, value, value >= 0.5 AS pass FROM (
+       | SELECT pday,
+       |   CAST(sum(CASE WHEN ntok <= $wb THEN (CASE WHEN lang IN ($profLangList) THEN 1 ELSE 0 END)
+       |                 ELSE (CASE WHEN detected <> 'und' THEN 1 ELSE 0 END) END) AS BIGINT) AS n_rows,
+       |   CAST(sum(CASE WHEN ntok <= $wb THEN (CASE WHEN lang IN ($profLangList) AND dhits = 0 THEN 1 ELSE 0 END)
+       |                 ELSE (CASE WHEN detected <> 'und' AND lang <> detected THEN 1 ELSE 0 END) END) AS BIGINT) AS violations,
+       |   CAST(sum(CASE WHEN ntok > $wb AND detected = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+       | FROM d GROUP BY pday) a,
+       |LATERAL (SELECT CASE WHEN n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+       |    ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS value) v
        |ORDER BY pday""".stripMargin
+  }
 
   // ——— near-duplicate (dedup) oracles ———
   //
@@ -627,19 +650,28 @@ object OracleSql {
 
   // ——— completeness / exists / estimated / multi-lang oracles ———
 
+  /** Mirrors Completeness.condEval: absent member always violates;
+    * present member violates when `count op value` fails.
+    */
+  private val condViolDuck: String =
+    """(o.lang IS NULL OR NOT (CASE cld.cond_op
+      |  WHEN '<' THEN o.n < cld.cond_val WHEN '>' THEN o.n > cld.cond_val
+      |  WHEN '=' THEN o.n = cld.cond_val WHEN '<=' THEN o.n <= cld.cond_val
+      |  ELSE o.n >= cld.cond_val END))""".stripMargin.replace('\n', ' ')
+
   private val completenessBase: String =
     s""", cobs AS (
-       |  SELECT pday, lang FROM pages WHERE lang IS NOT NULL
-       |  GROUP BY pday, lang HAVING count(*) >= 1),
+       |  SELECT pday, lang, CAST(count(*) AS BIGINT) AS n FROM pages
+       |  WHERE lang IS NOT NULL GROUP BY pday, lang),
        |cdays AS (SELECT DISTINCT pday FROM pages),
-       |cld AS (${PageSynth.langDimDuck})""".stripMargin
+       |cld AS (${PageSynth.langCondDimDuck})""".stripMargin
 
   val completenessExpected: String =
     s"""$cte$completenessBase
        |SELECT pday, n_rows, violations, value, value >= 1.0 AS pass FROM (
        |  SELECT d.pday, CAST(count(*) AS BIGINT) AS n_rows,
-       |    CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-       |    1.0 - CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+       |    CAST(sum(CASE WHEN $condViolDuck THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       |    1.0 - CAST(sum(CASE WHEN $condViolDuck THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
        |  FROM cdays d CROSS JOIN cld
        |  LEFT JOIN cobs o ON o.pday = d.pday AND o.lang = cld.lang
        |  GROUP BY d.pday) t
@@ -649,10 +681,13 @@ object OracleSql {
     s"""$cte$completenessBase
        |SELECT 'completeness_lang_day' AS check_id, 'MissingExpectedMember' AS kind,
        |  d.pday AS pday, '*' AS url,
-       |  'expected lang ''' || cld.lang || ''' absent (min 1)' AS detail
+       |  CASE WHEN o.lang IS NULL
+       |    THEN 'expected lang ''' || cld.lang || ''' absent (cond ' || cld.cond_op || ' ' || cld.cond_val || ')'
+       |    ELSE 'expected lang ''' || cld.lang || ''' count ' || o.n || ' fails cond ' || cld.cond_op || ' ' || cld.cond_val
+       |  END AS detail
        |FROM cdays d CROSS JOIN cld
        |LEFT JOIN cobs o ON o.pday = d.pday AND o.lang = cld.lang
-       |WHERE o.lang IS NULL
+       |WHERE $condViolDuck
        |ORDER BY d.pday, detail""".stripMargin
 
   private val existsPreds: Seq[(String, String)] = Seq(
@@ -694,9 +729,9 @@ object OracleSql {
     */
   val estDeclaredVsDerived: String =
     s"""$cte, s AS (
-       | SELECT pday, lang, text, url, $scoreCols FROM pages),
+       | SELECT pday, lang, text, url, $nTokDuck AS ntok, $scoreCols FROM pages),
        |d AS (SELECT pday, lang, text, url, $detectedDuck AS detected
-       |      FROM (SELECT *, $bestExpr AS best FROM s) t)
+       |      FROM (SELECT *, $bestExpr AS best, $totExpr AS tot FROM s) t)
        |SELECT pday, n_rows, sampled, violations, value, value >= 0.5 AS pass FROM (
        | SELECT pday, n_rows, sampled,
        |   CASE WHEN sampled = 0 THEN CAST(0 AS BIGINT)
@@ -726,10 +761,10 @@ object OracleSql {
        |rk AS (SELECT host, url,
        |  row_number() OVER (PARTITION BY host ORDER BY md5(url), url) AS rnk FROM u),
        |smp AS (SELECT host, url FROM rk WHERE rnk <= 10),
-       |j AS (SELECT wh.host, wh.lang, $scoreCols, (smp.url IS NOT NULL) AS in_s
+       |j AS (SELECT wh.host, wh.lang, $nTokDuck AS ntok, $scoreCols, (smp.url IS NOT NULL) AS in_s
        |      FROM wh LEFT JOIN smp ON wh.host = smp.host AND wh.url = smp.url),
        |d AS (SELECT host, lang, in_s, $detectedDuck AS detected
-       |      FROM (SELECT *, $bestExpr AS best FROM j) t),
+       |      FROM (SELECT *, $bestExpr AS best, $totExpr AS tot FROM j) t),
        |a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_rows,
        |  CAST(sum(CASE WHEN in_s AND detected <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
        |  CAST(sum(CASE WHEN in_s AND detected <> 'und' AND detected <> lang THEN 1 ELSE 0 END) AS BIGINT) AS bad
@@ -1008,17 +1043,23 @@ object OracleSql {
     // argmax + token stats computed once, exactly like the Spark side's
     // TextOps.withDerived
     val psCte =
-      s"""ps AS (SELECT *, $bestExpr AS best,
+      s"""ps AS (SELECT *, $bestExpr AS best, $totExpr AS tot,
+         |  CAST($nTokDuck AS BIGINT) AS ntok,
          |  CAST($nTokDuck AS DOUBLE) AS n_tok_d,
          |  CAST(coalesce(length(text), 0) AS DOUBLE) AS n_chars_d
          |FROM (SELECT *, $scoreCols FROM pages) s1)""".stripMargin
     val qExpr =
       """least(n_tok_d / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4 + (CASE WHEN n_tok_d > 0 AND (n_chars_d - (n_tok_d - 1)) / n_tok_d >= CAST(3.0 AS DOUBLE) AND (n_chars_d - (n_tok_d - 1)) / n_tok_d <= CAST(10.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3 + least(CAST(s_en AS DOUBLE) / CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.3"""
     val depList = graft.checks.Vocabulary.DeprecatedLangs.map(l => s"'$l'").mkString(", ")
+    val wb = graft.text.TextOps.WordBandTokens
     val suitePredsDuck = predsDuck ++ Seq(
       (graft.model.CheckId.DeclaredVsDerivedLang, "MisreportedLanguage",
-        s"text IS NOT NULL AND length(text) > 0 AND $detectedDuck <> 'und' AND lang IS NOT NULL",
-        s"lang <> $detectedDuck", "lang", 0.5),
+        s"text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL AND " +
+          s"(CASE WHEN ntok <= $wb THEN lang IN ($profLangList) ELSE $detectedDuck <> 'und' END)",
+        s"(CASE WHEN ntok <= $wb THEN $declHitsDuck = 0 ELSE lang <> $detectedDuck END)", "lang", 0.5),
+      (graft.model.CheckId.LangUndetermined, "UndeterminedLanguage",
+        s"text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL AND ntok > $wb",
+        s"$detectedDuck = 'und'", "'detector below banded confidence'", 0.5),
       (graft.model.CheckId.TextQuality, "LowQualityText",
         "text IS NOT NULL AND length(text) > 0",
         s"($qExpr) < 0.5", "'quality'", 0.8),
@@ -1044,8 +1085,8 @@ object OracleSql {
     val completenessPart =
       s"""SELECT 'completeness_lang_day' AS check_id, pday, n_rows, violations, value, value >= 1.0 AS pass FROM (
          |  SELECT d.pday, CAST(count(*) AS BIGINT) AS n_rows,
-         |    CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-         |    1.0 - CAST(sum(CASE WHEN o.lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+         |    CAST(sum(CASE WHEN $condViolDuck THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |    1.0 - CAST(sum(CASE WHEN $condViolDuck THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
          |  FROM cdays d CROSS JOIN cld
          |  LEFT JOIN cobs o ON o.pday = d.pday AND o.lang = cld.lang
          |  GROUP BY d.pday) t""".stripMargin

@@ -94,6 +94,7 @@ object ViolationKind {
   val MisusedDatatype    = "MisusedDatatypeProperty" // #12 resource-shaped value in literal position
   val MisusedObject      = "MisusedObjectProperty"   // #12 literal-shaped value in resource position
   val NoLicense          = "NoValidLicenseInDataset" // #37 DQMPROB analog
+  val UndeterminedLanguage = "UndeterminedLanguage" // #5 detector below banded confidence (the reference's unidentifiable case)
 }
 
 /** Check identifiers, with the mapping from every reference metric
@@ -115,6 +116,7 @@ object CheckId {
   val LangConformance = "conform_lang"
   val TsConformance   = "conform_ts"
   val DeclaredVsDerivedLang = "conform_lang_declared_vs_derived" // #5, #31
+  val LangUndetermined = "text_lang_undetermined" // #5 sentences below the banded detector confidence
 
   // Uniqueness family (refs #1 ExtensionalConciseness, #2 Estimated…,
   // #6 ValidIFPUsage)
@@ -173,7 +175,7 @@ object CheckId {
     2  -> Seq(ApproxDistinct),                      // EstimatedExtensionalConciseness
     3  -> Seq(LangCompleteness, NullStats, LangReferential), // DataCubePopulationCompleteness (gold members + condition op)
     4  -> Seq(UrlConformance, TsConformance),       // CompatibleDatatype
-    5  -> Seq(LangConformance, DeclaredVsDerivedLang), // CorrectLanguageTag
+    5  -> Seq(LangConformance, DeclaredVsDerivedLang, LangUndetermined), // CorrectLanguageTag (banded detector + word-lexicon + undetermined split)
     6  -> Seq(UrlUniqueness),                       // ValidIFPUsage
     7  -> Seq(HostReferential),                     // UsageOfIncorrectDomainOrRangeDatatypes
     8  -> Seq(UniformSample, HostReferential),      // Estimated… (sampled variant)

@@ -50,7 +50,7 @@ object Atoms {
     val norm: Column = graft.dedup.Dedup.normText(col("text"))
     masked.select(
       col("url"), col("warc_ts"), col("pday"), col("host"), col("lang"),
-      col("detected_lang"), col("__am"), col("__bm"),
+      col("detected_lang"), col("n_tok"), col("__am"), col("__bm"),
       (col("url").isNotNull && NativeValidators.validHttpUrl(col("url")))
         .as("url_valid"),
       (col("text").isNotNull && length(col("text")) > 0).as("text_ok"),

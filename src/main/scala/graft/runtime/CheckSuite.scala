@@ -207,6 +207,14 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // still-lazy checkpoint would compute the scan once per racing
         // job.
         phase("atoms_scan") { atoms.count(); () }
+        if (sys.env.contains("SPARK_GRAFT_PROFILE")) {
+          // diagnosis: a warm re-count of a materialized checkpoint is
+          // near-free; a slow second count means the blocks never landed
+          phase("atoms_recount") { atoms.count(); () }
+          System.err.println("[suite-phase] storage: " +
+            spark.sparkContext.getRDDStorageInfo.map(i =>
+              s"rdd${i.id}:${i.numCachedPartitions}/${i.numPartitions} mem=${i.memSize} disk=${i.diskSize}").mkString(" "))
+        }
         if (!(wholeAtoms eq atoms)) phase("atoms_full_scan") { wholeAtoms.count(); () }
         // one groupBy(url-hash-pair) bit_or shuffle serves both the
         // disjoint verdict and its violation listing; the per-host flag

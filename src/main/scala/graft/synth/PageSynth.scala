@@ -230,4 +230,31 @@ object PageSynth {
   /** DuckDB rendering of lang_dim for oracle SQL. */
   def langDimDuck: String =
     KnownLangs.map(l => s"('$l')").mkString("SELECT * FROM (VALUES ", ", ", ") langs(lang)")
+
+  /** Per-member completeness conditions — the reference's per-property
+    * condition-operator table (#3,
+    * intrinsic/.../DataCubePopulationCompleteness.java:248-267: the
+    * observed count must satisfy `count op value`; an absent member
+    * always violates). Ops cycle deterministically over the member
+    * list so every operator kind is exercised.
+    */
+  val CondOps: Seq[(String, Long)] =
+    Seq((">=", 1L), (">", 0L), ("=", 1L), ("<=", 2L), (">=", 2L))
+
+  /** (lang, cond_op, cond_val) rows for [[KnownLangs]]. */
+  val LangConds: Seq[(String, String, Long)] =
+    KnownLangs.zipWithIndex.map { case (l, i) =>
+      val (op, v) = CondOps(i % CondOps.size); (l, op, v)
+    }
+
+  /** lang_dim extended with the per-member condition columns. */
+  def langCondDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    LangConds.toDF("lang", "cond_op", "cond_val")
+  }
+
+  /** DuckDB rendering of [[langCondDim]]. */
+  def langCondDimDuck: String =
+    LangConds.map { case (l, op, v) => s"('$l', '$op', $v)" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") lc(lang, cond_op, cond_val)")
 }

@@ -62,36 +62,58 @@ object TextOps {
   private[graft] def profileHitsDeclarative(text: Column, words: Seq[String]): Column =
     hitsOnPadded(concat(lit(" "), coalesce(text, lit("")), lit(" ")), words)
 
+  /** Length-banded confidence thresholds — the reference's detector
+    * gates (intrinsic/.../CorrectLanguageTag.java:58-59,146-184): full
+    * detector at confidence 0.90 for sentences of > 15 tokens, the
+    * short-message profile at 0.70 for 3..15 tokens, and a per-word
+    * lexicon path (no statistical detector) for 1-2 word strings.
+    */
+  val LongConfidence = 0.90
+  val ShortConfidence = 0.70
+  val LongBandTokens = 16 // ntok ≥ 16 ⇔ reference's `splited.length > 15`
+  val WordBandTokens = 2  // ntok ≤ 2 ⇔ reference's one-word lexicon path
+
   /** Heuristic language ID: argmax of profile hits, ties resolved in
-    * profile order; 'und' (undetermined) when no profile scores ≥ 2.
+    * profile order. Confidence = best / total hits across profiles;
+    * sentence bands require the length-banded confidence AND the ≥2-hit
+    * evidence floor; 1-2 word strings resolve only when every lexicon
+    * hit lands in one profile. 'und' otherwise.
     */
   def detectedLang(text: Column): Column =
     detectedFromStats(textStats(text))
 
   /** Language-ID argmax over a (possibly shared) [[textStats]] column. */
   def detectedFromStats(stats: Column): Column = {
+    val ntok = coalesce(element_at(stats, 1), lit(0L))
     val scores = StopwordProfiles.zipWithIndex.map { case ((l, _), i) =>
       l -> coalesce(element_at(stats, i + 2), lit(0L))
     }
+    bandedArgmax(ntok, scores)
+  }
+
+  /** Shared banded-argmax shape for the native and declarative
+    * spellings (and mirrored by OracleSql.detectedDuck).
+    */
+  private def bandedArgmax(ntok: Column, scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(best >= 2 && s === best, lit(l)).otherwise(acc)
+    val tot = scores.map(_._2).reduce(_ + _)
+    // first-profile-wins tie-break: foldRight keeps the en branch outermost
+    val argmax = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best, lit(l)).otherwise(acc)
     }
+    val conf = best.cast("double") / tot.cast("double")
+    val thr = when(ntok >= LongBandTokens, LongConfidence).otherwise(ShortConfidence)
+    when(ntok <= WordBandTokens,
+        when(tot >= 1 && best === tot, argmax).otherwise(lit("und")))
+      .otherwise(when(best >= 2 && conf >= thr, argmax).otherwise(lit("und")))
   }
 
   /** Declarative language ID, kept for the parity spec. */
   private[graft] def detectedLangDeclarative(text: Column): Column = {
     val scores = StopwordProfiles.map { case (l, ws) =>
-      l -> profileHitsDeclarative(text, ws) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(best >= 2 && s === best, lit(l)).otherwise(acc)
-    }
+      l -> profileHitsDeclarative(text, ws).cast("long") }
+    bandedArgmax(tokenCountDeclarative(text), scores)
   }
-
-  // NOTE: foldRight + "s === best" keeps first-profile-wins tie-break:
-  // en wins over fr only if en's when() is evaluated first, so build
-  // with foldRight over the profile order (en branch outermost).
 
   /** Quality score in [0,1]: weighted mix of length band, mean token
     * length band, and stopword presence — the shape of production
@@ -132,8 +154,25 @@ object TextOps {
     val df = pages.withColumn("__ts", textStats(col("text")))
     df.withColumn("detected_lang", detectedFromStats(col("__ts")))
       .withColumn("quality", qualityFromStats(col("__ts"), col("text")))
+      .withColumn("n_tok", coalesce(element_at(col("__ts"), 1), lit(0L)))
+      // lexicon hits for the DECLARED language (the reference's one-word
+      // lexvo lookup, CorrectLanguageTag.java:146-184): 0 when the
+      // declared tag has no profile
+      .withColumn("decl_hits", declaredHitsFromStats(col("__ts"), col("lang")))
       .drop("__ts")
   }
+
+  /** Profile-hit count of the declared language's lexicon over a shared
+    * [[textStats]] column; 0 when the declared tag has no profile.
+    */
+  def declaredHitsFromStats(stats: Column, lang: Column): Column =
+    StopwordProfiles.zipWithIndex.foldRight(lit(0L): Column) {
+      case (((l, _), i), acc) =>
+        when(lang === l, coalesce(element_at(stats, i + 2), lit(0L))).otherwise(acc)
+    }
+
+  /** Languages the word-band lexicon covers. */
+  val ProfileLangs: Seq[String] = StopwordProfiles.map(_._1)
 
   val QualityThreshold = 0.5
 
@@ -143,12 +182,30 @@ object TextOps {
     * conformance bank in CheckSuite's one-scan family.
     */
   val preds: Seq[graft.checks.Pred] = Seq(
+    // #5/#31 unified declared-vs-derived: sentence bands compare against
+    // the banded detector; 1-2 word strings check the word against the
+    // DECLARED language's lexicon (the reference's lexvo path) — one
+    // check id across all bands, like CorrectLanguageTag's single metric
     graft.checks.Pred(graft.model.CheckId.DeclaredVsDerivedLang,
       graft.model.ViolationKind.MisreportedLanguage,
+      col("text").isNotNull && length(col("text")) > 0 && col("lang").isNotNull &&
+        when(col("n_tok") <= WordBandTokens, col("lang").isin(ProfileLangs: _*))
+          .otherwise(col("detected_lang") =!= "und"),
+      when(col("n_tok") <= WordBandTokens, col("decl_hits") === 0L)
+        .otherwise(col("lang") =!= col("detected_lang")),
+      when(col("n_tok") <= WordBandTokens,
+          concat(lit("word not in '"), col("lang"), lit("' lexicon")))
+        .otherwise(concat(col("lang"), lit("!="), col("detected_lang"))), 0.5),
+    // #5's "confidently wrong vs undetermined" split: sentences where
+    // the banded detector stays below its confidence threshold (the
+    // reference counts these against the metric; here they get their
+    // own verdict so the two failure modes are distinguishable)
+    graft.checks.Pred(graft.model.CheckId.LangUndetermined,
+      graft.model.ViolationKind.UndeterminedLanguage,
       col("text").isNotNull && length(col("text")) > 0 &&
-        col("detected_lang") =!= "und" && col("lang").isNotNull,
-      col("lang") =!= col("detected_lang"),
-      concat(col("lang"), lit("!="), col("detected_lang")), 0.5),
+        col("lang").isNotNull && col("n_tok") > WordBandTokens,
+      col("detected_lang") === "und",
+      lit("detector below banded confidence"), 0.5),
     graft.checks.Pred(graft.model.CheckId.TextQuality,
       graft.model.ViolationKind.LowQualityText,
       col("text").isNotNull && length(col("text")) > 0,
@@ -190,20 +247,35 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("declared", "detected")
 
-  /** Declared-vs-derived conformance verdict per pday (check #31
-    * analog): applicable = confidently detected docs; violation =
-    * declared ≠ detected.
+  /** Declared-vs-derived conformance verdict per pday (check #5/#31
+    * analog, all reference bands): sentence rows are applicable when
+    * the banded detector resolves, violated when declared ≠ detected;
+    * 1-2 word rows are applicable when the declared tag has a lexicon,
+    * violated when no word of the text is in it; `n_und` counts the
+    * below-confidence sentences (the reference's unidentifiable case),
+    * keeping "confidently wrong" and "undetermined" distinguishable.
     */
   def declaredVsDerived(pages: DataFrame, threshold: Double = 0.5): DataFrame =
-    pages.where(col("text").isNotNull && length(col("text")) > 0)
+    pages.where(col("text").isNotNull && length(col("text")) > 0 && col("lang").isNotNull)
       .withColumn("pday", FusedChecks.pday)
-      .withColumn("detected", detectedLang(col("text")))
-      .where(col("detected") =!= "und" && col("lang").isNotNull)
+      .withColumn("__ts", textStats(col("text")))
+      .withColumn("detected", detectedFromStats(col("__ts")))
+      .withColumn("ntok", coalesce(element_at(col("__ts"), 1), lit(0L)))
+      .withColumn("dhits", declaredHitsFromStats(col("__ts"), col("lang")))
       .groupBy(col("pday"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("lang") =!= col("detected"), 1L).otherwise(0L)).as("violations"))
+      .agg(
+        sum(when(col("ntok") <= WordBandTokens,
+            when(col("lang").isin(ProfileLangs: _*), 1L).otherwise(0L))
+          .otherwise(when(col("detected") =!= "und", 1L).otherwise(0L))).as("n_rows"),
+        sum(when(col("ntok") <= WordBandTokens,
+            when(col("lang").isin(ProfileLangs: _*) && col("dhits") === 0L, 1L).otherwise(0L))
+          .otherwise(when(col("detected") =!= "und" && col("lang") =!= col("detected"), 1L)
+            .otherwise(0L))).as("violations"),
+        sum(when(col("ntok") > WordBandTokens && col("detected") === "und", 1L)
+          .otherwise(0L)).as("n_und"))
       .withColumn("value",
-        lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double"))
+        when(col("n_rows") === 0, 1.0).otherwise(
+          lit(1.0) - col("violations").cast("double") / col("n_rows").cast("double")))
       .withColumn("pass", col("value") >= threshold)
       .orderBy("pday")
 
