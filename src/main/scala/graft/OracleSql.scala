@@ -324,18 +324,52 @@ object OracleSql {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  // knn_ivf oracle: the deterministic coarse quantizer (the NumCells
-  // smallest-vec_id vectors) is recomputed in SQL, every vector is
-  // assigned to its nearest cell by rounded cosine (ties → smallest
-  // cell_id — Similarity.cellRanks' struct order), queries probe their
-  // NumProbes nearest cells, and the ranked top-k is restricted to
-  // candidates in probed cells — end-to-end value verification of the
-  // IVF retrieval path including the quantizer and cell assignment.
+  // knn_ivf oracle: the k-means coarse quantizer is RE-TRAINED in SQL
+  // (Similarity.ivfCentroidsTrained's exact procedure: hash-sampled
+  // vec_id-ordered training set, smallest-vec_id seeds, rounded-cosine
+  // assignment with ties → smallest cell_id, coordinate means summed in
+  // vec_id order via list_aggregate and rounded to 6 dp, empty cells
+  // keeping their previous centroid), then every vector is assigned to
+  // its nearest trained cell, queries probe their NumProbes nearest
+  // cells, and the ranked top-k is restricted to candidates in probed
+  // cells — end-to-end value verification of the IVF retrieval path
+  // including the TRAINING, quantizer and cell assignment.
+  private def ivfTrainCtes(nCells: Int, iters: Int): (String, String) = {
+    import graft.sim.Similarity.{TrainHashMul, TrainHashMod, TrainSampleLt, MaxTrainSample}
+    // AS MATERIALIZED: without it DuckDB re-inlines each iteration's
+    // CTEs into the next, and the unrolled 64-term cosine trees grow
+    // exponentially across iterations (measured: the optimizer dies at
+    // iteration 3)
+    val sample =
+      s"""vsamp AS MATERIALIZED (SELECT vec_id, e FROM vecs
+         | WHERE (vec_id * $TrainHashMul) % $TrainHashMod < $TrainSampleLt
+         | ORDER BY vec_id LIMIT $MaxTrainSample)""".stripMargin
+    val init =
+      s"""c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id, e AS ce
+         | FROM (SELECT * FROM vsamp ORDER BY vec_id LIMIT $nCells) t0)""".stripMargin
+    val meanList = (1 to simDim).map(i =>
+      s"round(list_aggregate(list(e[$i] ORDER BY vec_id), 'sum') / count(*), 6)")
+      .mkString("[", ", ", "]")
+    val its = (1 to iters).map { k =>
+      val p = k - 1
+      s"""a$k AS MATERIALIZED (SELECT vec_id, e, cell_id FROM (
+         |  SELECT s.vec_id, s.e, c.cell_id,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY round(${cosDuck("s.e", "c.ce")}, 6) DESC, c.cell_id) AS rn
+         |  FROM vsamp s CROSS JOIN c$p c) t$k WHERE rn = 1),
+         |c$k AS MATERIALIZED (SELECT cell_id, $meanList AS ce FROM a$k GROUP BY cell_id
+         |  UNION ALL SELECT c.cell_id, c.ce FROM c$p c
+         |  WHERE NOT EXISTS (SELECT 1 FROM a$k a WHERE a.cell_id = c.cell_id))""".stripMargin
+    }
+    ((sample +: init +: its).mkString(",\n"), s"c$iters")
+  }
+
   val knnIvf: String = {
     val nCells = graft.sim.Similarity.NumCells
     val nProbe = graft.sim.Similarity.NumProbes
+    val (trainCtes, cFinal) = ivfTrainCtes(nCells, graft.sim.Similarity.TrainIters)
     s"""$vecCte,
-       |cent AS (SELECT vec_id AS cell_id, e AS ce FROM vecs ORDER BY vec_id LIMIT $nCells),
+       |$trainCtes,
+       |cent AS (SELECT cell_id, ce FROM $cFinal),
        |a0 AS (SELECT v.vec_id, c.cell_id, round(${cosDuck("v.e", "c.ce")}, 6) AS cc
        |       FROM vecs v CROSS JOIN cent c),
        |ar AS (SELECT vec_id, cell_id,

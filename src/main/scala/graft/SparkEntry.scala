@@ -172,10 +172,11 @@ object SparkEntry {
       graft.sim.Similarity.knnLsh(v, v.where(col("vec_id") < 10))
     }),
     // IVF-Flat ANN (coarse-quantizer scale path: cell-pruned candidate
-    // scan, corpus never shuffled)
+    // scan, corpus never shuffled; quantizer = deterministic k-means,
+    // re-trained by the oracle in SQL)
     "knn_ivf" -> ((s, dir) => {
       val v = graft.synth.EmbSynth.vectors(s, dir)
-      graft.sim.Similarity.knnIvf(v, v.where(col("vec_id") < 10))
+      graft.sim.Similarity.knnIvfTrained(v, v.where(col("vec_id") < 10))
     }),
     "emb_near_dup" -> ((s, dir) =>
       graft.sim.Similarity.nearDupPairs(graft.synth.EmbSynth.vectors(s, dir))),

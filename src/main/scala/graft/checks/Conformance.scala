@@ -99,15 +99,19 @@ object Conformance {
       urlOk,
       length(col("url")) > MaxUrlLen || col("url").contains("?"),
       col("url"), 0.99),
-    // — prolix constructs (#16 NoProlixRDF: fixed set + member regex) —
+    // — prolix constructs (#16 NoProlixRDF: fixed set + member regex;
+    //   the member-run regex runs as a native byte scan, ValidatorSpec
+    //   asserts ≡ rlike(ProlixRunRegex)) —
     Pred("prolix_text", ViolationKind.ProlixConstruct,
       col("text").isNotNull && length(col("text")) > 0,
-      col("text").contains(ProlixPhrase) || col("text").rlike(ProlixRunRegex),
+      col("text").contains(ProlixPhrase) ||
+        graft.functions.TextScan2Fn.hasProlixRun(col("text")),
       lit("prolix boilerplate construct"), 0.9),
-    // — shape-vs-position misuse (#12, both directions) —
+    // — shape-vs-position misuse (#12, both directions; markup probe is
+    //   a native byte scan, ValidatorSpec asserts ≡ rlike(MarkupRegex)) —
     Pred(graft.model.CheckId.MisusedLiteral, ViolationKind.MisusedDatatype,
       col("text").isNotNull && length(col("text")) > 0,
-      col("text").rlike(MarkupRegex),
+      graft.functions.TextScan2Fn.hasMarkup(col("text")),
       lit("markup in literal position"), 0.99),
     Pred(graft.model.CheckId.MisusedResource, ViolationKind.MisusedObject,
       col("url").isNotNull,

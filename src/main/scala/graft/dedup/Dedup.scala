@@ -90,8 +90,15 @@ object Dedup {
   private[dedup] val CoefB: IndexedSeq[Long] =
     IndexedSeq.fill(NumHashes)(math.abs(rnd.nextLong()) % MersenneP)
 
-  /** Whitespace-normalized text (the fingerprint domain). */
-  def normText(text: Column): Column = regexp_replace(trim(text), "\\s+", " ")
+  /** Whitespace-normalized text (the fingerprint domain) — native byte
+    * scan; [[normTextDeclarative]] is the parity-spec anchor.
+    */
+  def normText(text: Column): Column =
+    graft.functions.TextScan2Fn.normText(text)
+
+  /** The pre-round-5 declarative spelling, kept for the parity spec. */
+  private[graft] def normTextDeclarative(text: Column): Column =
+    regexp_replace(trim(text), "\\s+", " ")
 
   /** Distinct-text groups: one row per normalized-text fingerprint with
     * its representative (min url), the normalized text, and the member

@@ -271,17 +271,86 @@ object Similarity {
   val NumCells = 16
   val NumProbes = 4
 
-  /** Deterministic coarse-quantizer "training" stand-in: the nCells
-    * corpus vectors with the smallest vec_id. Real IVF trains k-means
-    * centroids offline on a sample; that training is a bounded driver /
-    * offline step either way, so the engine contract is the same — a
-    * small centroid table, broadcast as literals into the assignment
-    * scan. Deterministic selection keeps the DuckDB oracle able to
-    * recompute the identical quantizer (`ORDER BY vec_id LIMIT n`).
+  /** Deterministic seed centroids: the nCells sample vectors with the
+    * smallest vec_id (k-means initialization; cell ids 0..nCells-1).
     */
   def ivfCentroids(corpus: DataFrame, nCells: Int = NumCells): Seq[(Long, Array[Double])] =
     corpus.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }.toSeq
+
+  // ——— deterministic k-means training (Lloyd's over a hash sample) ———
+
+  /** Knuth-multiplicative hash sample gate: vec_id * Mul % Mod < Lt.
+    * 25% at the test corpora (the sample must cover NumCells cells); a
+    * 10⁹-vector deployment lowers Lt toward ~1% — the knob, not the
+    * shape, changes. [[MaxTrainSample]] bounds the driver-side collect
+    * regardless of corpus size.
+    */
+  val TrainHashMul = 2654435761L
+  val TrainHashMod = 100L
+  val TrainSampleLt = 25L
+  val MaxTrainSample = 4096
+  val TrainIters = 3
+
+  private def round6(x: Double): Double =
+    BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver-side cosine with the exact op order of the native
+    * [[cosine]] expression and the oracle's unrolled SQL (left-to-right
+    * index-order sums), so trained centroids are bit-reproducible.
+    */
+  private def cosScalar(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The bounded, vec_id-ordered training sample (driver-side). */
+  def ivfTrainSample(corpus: DataFrame): Seq[(Long, Array[Double])] =
+    corpus.select(col("vec_id"), col("embedding"))
+      .where(pmod(col("vec_id") * TrainHashMul, lit(TrainHashMod)) < TrainSampleLt)
+      .orderBy("vec_id").limit(MaxTrainSample)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** Deterministic k-means coarse quantizer: Lloyd's over the
+    * hash-sampled, vec_id-ordered training set — seeds = the nCells
+    * smallest-vec_id sample vectors, assignment by rounded cosine
+    * (ties → smallest cell_id, like [[cellRanks]]), centroid update =
+    * coordinate means accumulated in vec_id order and rounded to 6
+    * decimals, empty cells keep their previous centroid. Every step is
+    * order-pinned so the DuckDB oracle recomputes bit-identical
+    * centroids (OracleSql.ivfTrainCtes). Training is the bounded
+    * offline step real IVF does (sample collect ≤ [[MaxTrainSample]]
+    * rows); the resulting centroid table broadcasts as literals into
+    * the assignment scan exactly like the seeds did.
+    */
+  def ivfCentroidsTrained(corpus: DataFrame, nCells: Int = NumCells,
+      iters: Int = TrainIters): Seq[(Long, Array[Double])] = {
+    val sample = ivfTrainSample(corpus)
+    require(sample.size >= nCells, s"IVF training sample ${sample.size} < $nCells cells")
+    val dim = sample.head._2.length
+    var cents: Seq[(Long, Array[Double])] =
+      sample.take(nCells).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val assigned = sample.map { case (vid, v) =>
+        val cell = cents.map { case (cid, c) => (round6(cosScalar(v, c)), cid) }
+          .maxBy { case (cc, cid) => (cc, -cid) }._2 // best cosine, tie → smallest cell
+        (cell, vid, v)
+      }
+      cents = cents.map { case (cid, prev) =>
+        val members = assigned.filter(_._1 == cid) // vec_id order (sample is sorted)
+        if (members.isEmpty) (cid, prev)
+        else {
+          val n = members.size
+          (cid, Array.tabulate(dim) { i =>
+            round6(members.foldLeft(0.0)((acc, m) => acc + m._3(i)) / n)
+          })
+        }
+      }
+    }
+    cents
+  }
 
   /** Cells ranked nearest-first for one vector: a 16-entry array of
     * (−cos, cell_id) structs, sorted ascending — i.e. by rounded cosine
@@ -303,9 +372,10 @@ object Similarity {
     * is NEVER shuffled; candidates come from a broadcast join of the
     * (bounded) query probe list against the cell-keyed corpus, scored
     * with the native cosine, then the salted two-phase [[topK]]. At
-    * 100 TB the corpus is written bucketed/partitioned by `cell_id`, so
-    * a probe prunes to nProbe/nCells of the files before the scan —
-    * the reason IVF is the scale path over LSH's ×bands explosion.
+    * 100 TB the corpus is written cell-partitioned ([[writeIvfTable]])
+    * and probed through [[knnIvfOnTable]], whose static cell filter
+    * prunes to nProbe/nCells of the files before the scan — the reason
+    * IVF is the scale path over LSH's ×bands explosion.
     */
   private[graft] def knnIvfPlan(corpus: DataFrame, queries: DataFrame,
       centroids: Seq[(Long, Array[Double])], k: Int, nProbe: Int): DataFrame = {
@@ -334,6 +404,50 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nCells: Int = NumCells, nProbe: Int = NumProbes): DataFrame =
     knnIvfPlan(corpus, queries, ivfCentroids(corpus, nCells), k, nProbe)
+
+  /** [[knnIvf]] with the k-means-trained quantizer. */
+  def knnIvfTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = NumCells, nProbe: Int = NumProbes): DataFrame =
+    knnIvfPlan(corpus, queries, ivfCentroidsTrained(corpus, nCells), k, nProbe)
+
+  /** Write the vector corpus as an IVF table: the same narrow
+    * codegen'd projection assigns each vector's cell, and the table is
+    * directory-partitioned by `cell_id` — the 100-TB layout where a
+    * probe prunes to nProbe/nCells of the files before any scan.
+    */
+  def writeIvfTable(corpus: DataFrame, centroids: Seq[(Long, Array[Double])],
+      path: String): Unit =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cell_id",
+        element_at(cellRanks(col("embedding"), centroids), 1).getField("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** IVF top-k over a [[writeIvfTable]] layout: probe cells are a
+    * bounded driver-side set (queries are bounded by construction), so
+    * the `cell_id IN (...)` predicate is a STATIC partition filter —
+    * Spark's file index drops non-probed cell directories before the
+    * scan (PlanSpec asserts files-read < files-total). Candidate
+    * scoring then matches [[knnIvfPlan]]: broadcast probes, native
+    * cosine, salted two-phase top-k.
+    */
+  def knnIvfOnTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, centroids: Seq[(Long, Array[Double])], k: Int = 5,
+      nProbe: Int = NumProbes): DataFrame = {
+    val qProbes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("probe", explode(slice(cellRanks(col("qv"), centroids), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("probe.cell_id").as("cell_id"))
+    val probeCells = qProbes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val table = spark.read.parquet(path)
+      .where(col("cell_id").isin(probeCells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("cell_id").cast("long").as("cell_id"))
+    val scored = table.join(broadcast(qProbes), "cell_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    topK(scored, k)
+  }
 
   /** [[nearDupPairs]] plus the dropped-bucket count. */
   def nearDupPairsCounted(corpus: DataFrame, threshold: Double = 0.99,

@@ -68,6 +68,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("trained k-means quantizer: deterministic, and nProbe = nCells still equals brute") {
+    val c1 = Similarity.ivfCentroidsTrained(vectors)
+    val c2 = Similarity.ivfCentroidsTrained(vectors)
+    assert(c1.map(_._1) == (0L until Similarity.NumCells.toLong))
+    assert(c1.zip(c2).forall { case ((i, a), (j, b)) => i == j && a.sameElements(b) })
+    // training moved the centroids off their seeds (Lloyd's did work)
+    val seeds = Similarity.ivfCentroids(vectors)
+    assert(c1.zip(seeds).exists { case ((_, a), (_, s)) => !a.sameElements(s) })
+    val queries = vectors.where(col("vec_id") < 7)
+    val brute = Similarity.knnBrute(vectors, queries, k = 4).collect().toSeq
+    val full = Similarity.knnIvfTrained(vectors, queries, k = 4,
+      nProbe = Similarity.NumCells).collect().toSeq
+    assert(full == brute)
+  }
+
+  test("cell-partitioned IVF table: probes read only the probed cells' files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val cents = Similarity.ivfCentroidsTrained(vectors)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_table_spec"
+    Similarity.writeIvfTable(vectors, cents, path)
+    val totalCells = spark.read.parquet(path).select("cell_id").distinct().count()
+    val queries = vectors.where(col("vec_id") < 3)
+    val pruned = Similarity.knnIvfOnTable(spark, path, queries, cents, k = 4)
+    // value parity with the in-memory plan over the same centroids
+    val inMem = Similarity.knnIvfTrained(vectors, queries, k = 4).collect().toSeq
+    assert(pruned.collect().toSeq == inMem)
+    // the scan's partition filters prune the file index to the probed
+    // cells' directories — strictly fewer files than the table holds
+    // (the 100-TB prune claim, asserted on the listing the scan reads)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+    val tableScans = scans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_table_spec")))
+    assert(tableScans.nonEmpty)
+    assert(tableScans.forall(_.partitionFilters.nonEmpty),
+      "cell_id IN (...) must reach the scan as a partition filter")
+    val scanned = tableScans.map(f =>
+      f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+        .map(_.files.size).sum).sum
+    val allFiles = spark.read.parquet(path).inputFiles.length
+    assert(totalCells == Similarity.NumCells.toLong)
+    assert(scanned > 0 && scanned < allFiles,
+      s"expected partition pruning: listed $scanned of $allFiles files")
+  }
+
   test("LSH bucket sizes are bounded (max band bucket < 1% of corpus)") {
     val n = vectors.count().toDouble
     val maxBucket = vectors

@@ -82,4 +82,37 @@ class ValidatorSpec extends AnyFunSuite {
       .count()
     assert(mismatches == 0)
   }
+
+  // — round-5 scanners: norm-text, markup, prolix-run —
+
+  private val unit = "w123 "
+  private val textCases = Seq(
+    "", " ", "  a  b  ", "\ta\tb\n", " \t \n x  y \f z \r ",
+    "a<b>c", "<a>", "<A>", "< a>", "<1x>", "<a", "a>b<c", "<zz  >", "<a\nx>",
+    "<é>", "é<a>é", "<a><b>", "text with <em>markup</em> inside",
+    unit * 10, unit * 9, unit * 9 + "w12 " + unit, "x" + unit * 10,
+    unit * 5 + "w1234 " + unit * 5, ("w999 " * 10), "w000 " * 11,
+    "the boilerplate cookie consent page", "wwww w123 w456 ",
+    unit * 9 + "w123", unit.trim
+  )
+  private val textFuzz = fuzz("w0129 <a>ébz\t\n", 60, 4000) ++
+    fuzz("w123 <a>x", 80, 4000)
+
+  test("native norm-text / markup / prolix-run == declarative regexes (codegen path, incl. nulls)") {
+    import spark.implicits._
+    val corpus = graft.synth.PageSynth.pages(spark, TestSpark.sf0001)
+      .select(col("text")).as[String].collect().toSeq
+    val df = ((textCases ++ textFuzz ++ corpus).map(Option(_)) :+
+      Option.empty[String]).toDF("s")
+    val mismatches = df.select(
+        (graft.dedup.Dedup.normText(col("s")) <=>
+          graft.dedup.Dedup.normTextDeclarative(col("s"))).as("norm_eq"),
+        (graft.functions.TextScan2Fn.hasMarkup(col("s")) <=>
+          col("s").rlike(Conformance.MarkupRegex)).as("markup_eq"),
+        (graft.functions.TextScan2Fn.hasProlixRun(col("s")) <=>
+          col("s").rlike(Conformance.ProlixRunRegex)).as("prolix_eq"))
+      .where(!col("norm_eq") || !col("markup_eq") || !col("prolix_eq"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
