@@ -854,6 +854,58 @@ object OracleSql {
        |  (1.0 - CAST(sum(CASE WHEN latin AND cjk THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.99 AS pass
        |FROM ent""".stripMargin
 
+  // ——— #7/#8 domain/range two-pass oracles ———
+
+  /** Mirrors DomainRange: pass-1 entity families, pass-2 per-row check
+    * against the host's declared domain class, closure-widened (the
+    * allowed-family sets are resolved from the same Scala taxonomy the
+    * Spark side uses, so 'alphabetic' accepts latin only via
+    * latin ⊑ alphabetic).
+    */
+  private def domainRangeBase(sampled: Boolean): String = {
+    import graft.checks.{Disjoint, DomainRange}
+    val sampleW = if (sampled) s" AND $u256 < 51" else ""
+    val fams = Disjoint.Families.map(_._2).distinct
+    val famCols = fams.map(f => s"bool_or(f.family = '$f') AS f_$f").mkString(", ")
+    def allowed(dc: String): Seq[String] =
+      fams.filter(f => Disjoint.ancestors(f, Disjoint.SubClassOf).contains(dc))
+    val violExpr = Seq("alphabetic", "logographic").map(dc =>
+      s"WHEN '$dc' THEN NOT (${allowed(dc).map(f => s"em.f_$f").mkString(" OR ")})")
+      .mkString("CASE dd.domain_class ", " ", " END")
+    s""", ddim AS (${PageSynth.hostDimDuck}),
+       |dd AS (SELECT host,
+       |  CASE WHEN CAST(regexp_extract(host, '^h([0-9]{3})\\.', 1) AS BIGINT) % ${DomainRange.CjkDomainMod} = ${DomainRange.CjkDomainRem}
+       |       THEN 'logographic' ELSE 'alphabetic' END AS domain_class FROM ddim),
+       |drfams AS (${Disjoint.famDimDuck}),
+       |em AS (SELECT p.url, $famCols
+       |  FROM pages p JOIN drfams f ON p.lang = f.lang
+       |  WHERE TRUE$sampleW GROUP BY p.url),
+       |drj AS (SELECT ph.url, ph.host, dd.domain_class, $violExpr AS viol
+       |  FROM (SELECT url, lang, $hostExpr AS host FROM pages) ph
+       |  JOIN dd ON dd.host = ph.host JOIN em ON em.url = ph.url
+       |  WHERE ph.lang IS NOT NULL AND ph.host <> '')""".stripMargin
+  }
+
+  private def domainRangeVerdict(sampled: Boolean): String =
+    s"""$cte${domainRangeBase(sampled)}
+       |SELECT n_rows, violations,
+       |  CASE WHEN n_rows = 0 THEN 1.0
+       |       ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS value,
+       |  (CASE WHEN n_rows = 0 THEN 1.0
+       |       ELSE 1.0 - CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE) END) >= 0.8 AS pass
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM drj) t""".stripMargin
+
+  val domainRange: String = domainRangeVerdict(sampled = false)
+  val estDomainRange: String = domainRangeVerdict(sampled = true)
+
+  /** Mirrors DomainRange.usages: the grouped problem bag. */
+  val domainRangeUsages: String =
+    s"""$cte${domainRangeBase(sampled = false)}
+       |SELECT host, domain_class, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_urls, min(url) AS min_url
+       |FROM drj WHERE viol GROUP BY host, domain_class ORDER BY host""".stripMargin
+
   /** Mirrors Disjoint.estimatedVerdict: the disjoint check over the
     * entity-keyed (md5(url)) uniform sample.
     */
@@ -1382,6 +1434,9 @@ object OracleSql {
     "multi_lang_usage" -> multiLangUsage,
     "disjoint_lang" -> disjointLang,
     "disjoint_lang_entities" -> disjointLangEntities,
-    "est_disjoint_lang" -> estDisjointLang
+    "est_disjoint_lang" -> estDisjointLang,
+    "domain_range" -> domainRange,
+    "domain_range_usages" -> domainRangeUsages,
+    "est_domain_range" -> estDomainRange
   )
 }

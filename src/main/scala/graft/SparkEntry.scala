@@ -78,6 +78,15 @@ object SparkEntry {
     // uniform sample)
     "est_disjoint_lang" -> ((s, dir) =>
       Disjoint.estimatedVerdict(pages(s, dir), Disjoint.famDim(s))),
+    // #7 domain/range two-pass: entity→type map, then every row checked
+    // against its host's declared domain through the subClassOf* closure
+    "domain_range" -> ((s, dir) =>
+      DomainRange.verdict(pages(s, dir), DomainRange.hostDomainDim(s), Disjoint.famDim(s))),
+    "domain_range_usages" -> ((s, dir) =>
+      DomainRange.usages(pages(s, dir), DomainRange.hostDomainDim(s), Disjoint.famDim(s))),
+    // #8's estimated variant over the entity-keyed sample
+    "est_domain_range" -> ((s, dir) =>
+      DomainRange.estimatedVerdict(pages(s, dir), DomainRange.hostDomainDim(s), Disjoint.famDim(s))),
     // referential vs dimension snapshots
     "ref_host_day" -> ((s, dir) =>
       Referential.hostCheckByDay(pages(s, dir), PageSynth.hostDim(s))),

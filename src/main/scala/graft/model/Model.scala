@@ -155,6 +155,8 @@ object CheckId {
   val NearDupEmb       = "near_dup_emb"          // #1 analog over the embedding corpus (hyperplane-LSH clusters)
   val EstDeclaredVsDerived = "est_declared_vs_derived" // #32 sampled declared-vs-derived composition
   val EstDisjointLang  = "est_disjoint_lang"     // #10 disjoint check over the entity-keyed uniform sample
+  val DomainRange      = "domain_range"          // #7 two-pass entity-type vs closure-widened declared domain
+  val EstDomainRange   = "est_domain_range"      // #8 sampled variant over the entity-keyed sample
   val EstDeclaredVsDerivedStrat = "est_declared_vs_derived_stratified" // #33 stratified composition
   val DeprecatedTerms  = "deprecated_terms"      // #14 deprecated-dim usage (broadcast dim join)
   val ProlixText       = "prolix_text"           // #16 boilerplate-construct pattern bank
@@ -177,8 +179,8 @@ object CheckId {
     4  -> Seq(UrlConformance, TsConformance),       // CompatibleDatatype
     5  -> Seq(LangConformance, DeclaredVsDerivedLang, LangUndetermined), // CorrectLanguageTag (banded detector + word-lexicon + undetermined split)
     6  -> Seq(UrlUniqueness),                       // ValidIFPUsage
-    7  -> Seq(HostReferential),                     // UsageOfIncorrectDomainOrRangeDatatypes
-    8  -> Seq(UniformSample, HostReferential),      // Estimated… (sampled variant)
+    7  -> Seq(DomainRange, HostReferential),        // UsageOfIncorrectDomainOrRangeDatatypes (two-pass: entity→type map + closure-widened domain)
+    8  -> Seq(EstDomainRange, UniformSample, HostReferential), // Estimated… (sampled variant)
     9  -> Seq(DisjointLang),                        // AdvancedEntitiesAsMembersOfDisjointClasses (collect_set + disjoint-pair test)
     10 -> Seq(EstDisjointLang, UniformSample),      // EstimateSimpleEntities… (disjoint over the entity-keyed sample)
     11 -> Seq(MisplacedTerms, HostReferential),     // MisplacedClassesOrProperties (term-kind dim, both positions)
