@@ -89,6 +89,50 @@ object StreamingChecks {
       watermark)
   }
 
+  /** Append-mode violation-EVENT stream for the full fused predicate
+    * bank: each arriving page emits its violation rows (check_id, kind,
+    * pday, url, detail) exactly once — the problem-bag analog of the
+    * update-mode counters above, so a streamed deployment gets problem
+    * rows, not just counts.
+    *
+    * Scale shape: the whole pipeline is STATELESS — dim decoration is a
+    * broadcast stream-static join, the bitmask fold and the
+    * `__bm != 0` filter + explode are deterministic projections — so
+    * there is no state store, no watermark, and nothing accumulates on
+    * an unbounded stream; detail strings are built only for flagged
+    * rows, exactly like the batch listing
+    * ([[graft.checks.FusedChecks.violationsFromMasks]], which this
+    * reuses verbatim — one definition, two execution modes).
+    */
+  def violationEvents(stream: DataFrame, hostDim: DataFrame,
+      langDim: DataFrame, depDim: DataFrame): DataFrame = {
+    val joined = graft.text.TextOps.withDerived(stream)
+      .withColumn("host", graft.checks.Referential.hostExpr)
+      .join(broadcast(hostDim.withColumn("host_known", lit(true))), Seq("host"), "left")
+      .join(broadcast(langDim.withColumn("lang_known", lit(true))), Seq("lang"), "left")
+      .join(broadcast(depDim.withColumn("lang_deprecated", lit(true))), Seq("lang"), "left")
+      .join(broadcast(hostDim.withColumnRenamed("host", "lang")
+        .withColumn("lang_is_hostterm", lit(true))), Seq("lang"), "left")
+      .join(broadcast(langDim.withColumnRenamed("lang", "host")
+        .withColumn("host_is_langterm", lit(true))), Seq("host"), "left")
+    val preds = Conformance.preds ++ graft.runtime.CheckSuite.refPreds ++
+      graft.text.TextOps.preds
+    val masks = graft.checks.FusedChecks.maskFrame(joined, preds)
+    // ordered = false: a global sort is meaningless (and illegal in
+    // append mode without an aggregation) on an unbounded stream
+    graft.checks.FusedChecks.violationsFromMasks(masks, preds, ordered = false)
+  }
+
+  /** Start the append-mode violation-event stream into a memory sink. */
+  def startViolations(spark: SparkSession, dir: String, queryName: String,
+      hostDim: DataFrame, langDim: DataFrame, depDim: DataFrame): StreamingQuery =
+    violationEvents(pageStream(spark, dir), hostDim, langDim, depDim)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
   /** Start the streaming assessment into an in-memory table (tests /
     * local monitoring) or a parquet sink. With dims, the referential
     * family streams too.

@@ -92,6 +92,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.map(_(graft.model.CheckId.DeclaredVsDerivedLang)._2).sum > 0)
   }
 
+  test("streamed violation EVENTS (append mode) equal the batch listing per (check, day)") {
+    val dir = Files.createTempDirectory("metricsspark_stream_viol").toString
+    val pages = PageSynth.pages(spark, TestSpark.sf0001)
+    pages.repartition(6).write.mode("overwrite").parquet(dir)
+
+    val q = StreamingChecks.startViolations(spark, dir, "stream_viol",
+      PageSynth.hostDim(spark), PageSynth.langDim(spark),
+      graft.checks.Vocabulary.deprecatedDim(spark))
+    q.processAllAvailable()
+    q.stop()
+
+    // append mode: each violation event appears exactly once, so plain
+    // counts (no max/dedup) must equal the batch listing
+    val streamed = spark.table("stream_viol")
+      .groupBy(col("check_id"), col("pday")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val preds = graft.checks.Conformance.preds ++
+      graft.runtime.CheckSuite.refPreds ++ graft.text.TextOps.preds
+    val batch = graft.checks.FusedChecks.violationsFromMasks(
+        graft.checks.FusedChecks.maskFrame(
+          graft.runtime.CheckSuite.joinDims(pages, graft.runtime.Dims.default(spark)), preds),
+        preds, ordered = false)
+      .groupBy(col("check_id"), col("pday")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // the fixture corpus injects violations
+  }
+
   test("streamed stateful dedup (flatMapGroupsWithState) equals batch fingerprint groups") {
     val dir = Files.createTempDirectory("metricsspark_stream_dedup").toString
     val pages = PageSynth.pages(spark, TestSpark.sf0001)
