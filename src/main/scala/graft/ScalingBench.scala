@@ -162,7 +162,7 @@ object ScalingBench {
             |  hijack/format families) — "validated docs/sec" is docs ÷
             |  wall-clock at THIS scope; see the per-verdict-row
             |  normalization below for cross-round comparability
-            |  (round 2: 713 rows, round 3: 762, round 4: 1003)
+            |  (round 2: 713 rows, round 3: 762, round 4: 1003, round 5: 1050)
             |""".stripMargin).getOrElse("")
       val md =
         s"""# BENCH — metricsspark scaling evidence
