@@ -199,7 +199,14 @@ object PageSynth {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = docs.count()
     val k = math.max(1L, (targetDocs + n - 1) / n)
-    val rep = docs.crossJoin(spark.range(k).toDF("rep"))
+    // The base parquet is one small file = ONE input split. A bare
+    // crossJoin broadcasts the replica range and leaves the entire
+    // k·n-row synthesis + shuffle write in a single task (~1 core-hour
+    // at 96M docs, 31 cores idle). Spread the n base rows first — that
+    // shuffle is tiny — so the synthesis fans out cores-wide.
+    val fanout = spark.sparkContext.defaultParallelism * 2
+    val rep = docs.repartition(fanout, col("doc_id"))
+      .crossJoin(broadcast(spark.range(k).toDF("rep")))
       .select((col("rep") * n + col("doc_id")).as("doc_id"),
         col("text"), col("lang"))
     pagesFromDocs(rep).select("url", "warc_ts", "html", "text", "lang")

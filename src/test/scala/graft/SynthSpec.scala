@@ -45,4 +45,22 @@ class SynthSpec extends AnyFunSuite {
     assert(counts.head.getLong(1) / total > 0.35 && counts.head.getLong(1) / total < 0.45)
     assert(counts.length > 20) // long tail exists (26 tail hosts at 500 docs)
   }
+
+  test("replicatedPages: k deterministic replicas, synthesis fans out") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val n = docs.count()
+    val rep = PageSynth.replicatedPages(spark, TestSpark.sf0001, 3 * n)
+    assert(rep.count() == 3 * n)
+    // Content is layout-independent: exactly the re-keyed cross product,
+    // whatever partitioning the builder chose for write parallelism.
+    val naive = PageSynth.pagesFromDocs(
+      docs.crossJoin(spark.range(3).toDF("rep"))
+        .select((col("rep") * n + col("doc_id")).as("doc_id"),
+          col("text"), col("lang")))
+      .select("url", "warc_ts", "html", "text", "lang")
+    assert(naive.exceptAll(rep).isEmpty && rep.exceptAll(naive).isEmpty)
+    // The single-file base input must NOT collapse synthesis to one task
+    // (one task = ~1 core-hour at the 96M-doc bench scale).
+    assert(rep.rdd.getNumPartitions > 1)
+  }
 }
