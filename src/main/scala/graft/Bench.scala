@@ -17,6 +17,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "64")
+      // the suite generates >100 codegen units; the default 100-entry
+      // LRU recompiles the big classes every run (see ScalingBench)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // row-heavy compressed synth input (~10 B/row): split scans by
       // rows, not the 128 MB byte default (see ScalingBench.session)
       .config("spark.sql.files.maxPartitionBytes", "8m")

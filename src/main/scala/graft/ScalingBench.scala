@@ -40,6 +40,12 @@ object ScalingBench {
       .master(s"local[$cpus]")
       .appName(s"metricsspark-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", "128")
+      // one assessment generates well over the default 100 cached
+      // codegen units (15 concurrent families × several stages each +
+      // the per-day plans), so the 100-entry LRU recompiles the big
+      // fused classes on every run — pure driver CPU burned per
+      // assessment. Static conf: must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // row-heavy, byte-light input: the dedup-laden corpus compresses
       // to ~10 B/row, so the default 128 MB split planning caps every
       // scan stage at ~20 tasks — an N-independent floor that murders
@@ -80,6 +86,14 @@ object ScalingBench {
       def once(): Double = {
         // identical starting state per run: assessment outputs cleared
         Seq("audit", "results", "violations").foreach(d => rmrf(Paths.get(root, d)))
+        // free the previous run's checkpoint blocks BEFORE timing: local-
+        // checkpoint RDDs are reclaimed by the ContextCleaner only after
+        // the driver GCs their weak refs, and at bench scale the atoms
+        // checkpoint is ~36 GB/run — three un-reclaimed runs would
+        // exhaust tmpfs+heap. Two gc passes + a settle window let the
+        // async cleaner drop the blocks; run-to-run isolation, not a
+        // speedup of the measured engine.
+        System.gc(); System.gc(); Thread.sleep(5000)
         val t0 = System.nanoTime()
         verdictRows = SuiteRunner.assess(s, root, s"scal_${cpus}_${System.nanoTime()}",
           embeddings = Some(graft.synth.EmbSynth.vectors(s, sfDir))).count()

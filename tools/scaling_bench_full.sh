@@ -13,6 +13,15 @@ set -e
 cd /root/repo
 export SPARK_GRAFT_BENCH_DOCS=${SPARK_GRAFT_BENCH_DOCS:-96000000}
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
+# This VM's anonymous-page first-touch fault path runs at ~15 MB/s per
+# thread (~73 MB/s with madvised THP) — measured via
+# `java -Xms4g -Xmx4g -XX:+AlwaysPreTouch -version`: 4 GB = 4m22s wall
+# without THP, 56 s with. A lazily-grown 48 GB heap therefore pays
+# minutes of randomly-placed fault tax across the first runs, swamping
+# the engine signal (observed: identical warm assessments at 155 s vs
+# 378 s). Pre-touch the whole heap at JVM startup (outside every timed
+# region) so runs at every level are fault-free and comparable.
+export GRAFT_JAVA_OPTS="-Xms${SPARK_DRIVER_MEM} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages"
 export GRAFT_CLASSES=$(mktemp -d /tmp/graft_classes.XXXX)
 cp -r target/scala-2.13/classes/* "$GRAFT_CLASSES/"
 trap 'rm -rf "$GRAFT_CLASSES"' EXIT
