@@ -29,7 +29,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.dedup.Dedup.LabelsResult]()
   private def sharedClusterLabels(s: SparkSession, dir: String): graft.dedup.Dedup.LabelsResult =
     dedupLabelCache.computeIfAbsent((s, dir),
-      _ => graft.dedup.Dedup.clusterLabelsCounted(pages(s, dir)))
+      // withSimhash: the one collapse scan also materializes the 60-bit
+      // simhash per distinct text, so `dedup_simhash_pairs` reads the
+      // shared groups checkpoint instead of re-scanning the corpus
+      _ => graft.dedup.Dedup.clusterLabelsCounted(pages(s, dir), withSimhash = true))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -162,7 +165,8 @@ object SparkEntry {
     // near-duplicate detection (LSH over collapsed distinct-text
     // groups; full DuckDB value oracles — both engines hash via md5)
     "dedup_minhash_pairs" -> ((s, dir) => sharedClusterLabels(s, dir).pairs),
-    "dedup_simhash_pairs" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(pages(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairsFromGroups(sharedClusterLabels(s, dir).groups)),
     "dedup_clusters" -> ((s, dir) => {
       val r = sharedClusterLabels(s, dir)
       graft.dedup.Dedup.clustersFrom(pages(s, dir), r.groups, r.labels)

@@ -239,38 +239,47 @@ object Dedup {
       threshold, maxBucket).pairs
 
   /** [[minhashPairsFromGroups]] over groups that already carry hashed
-    * shingles (`rep`, `n_docs`, `hs`) — [[clusterLabels]] checkpoints
-    * the compact hashed form (shingling runs *before* the checkpoint;
-    * raw normalized text is never materialized), so its LSH pipeline
-    * starts here.
+    * shingles (`rep`, `n_docs`, `hs`): the signature is computed into a
+    * row-format checkpoint (one materialization) and the LSH pipeline
+    * proper runs from it ([[minhashPairsFromSigned]]).
     */
   def minhashPairsFromHashed(hashed: DataFrame, threshold: Double = JaccardThreshold,
       maxBucket: Long = MaxBucketSize): PairsCounted = {
-    // `sh` feeds four consumers (both sides of the band self-join and
-    // both verification sides). Self-join sides get fresh attribute ids
-    // (DeduplicateRelations), and AQE's stage-reuse cache does not
-    // collapse these subtrees here — measured: the groupBy + md5
-    // shingling re-executed 4×, 3/4 of the operator's wall-clock. So
-    // cache the two compact intermediates explicitly (Spark ML's LSH
-    // does the same): `sh` is distinct-text scale (rep + ~200 ints),
-    // `bands` is keys-only; MEMORY_AND_DISK spills rather than OOMs.
-    // The signature is materialized INTO the persisted side: bandKeys
+    // The signature is materialized INTO the checkpointed side: bandKeys
     // references the signature array 96× (24 bands × 4 slice reads),
     // and expression-tree duplication means a non-materialized
     // signature(hs) subtree re-evaluates per reference wherever
     // codegen's subexpression elimination doesn't reach — measured as a
     // 10 s single-partition band materialization at sf0.1 (~40× the
     // one-pass cost). As an attribute it is computed exactly once per
-    // row, during the (tiny, compact) persist build.
-    val sh = hashed
+    // row, during the compact checkpoint build.
+    val signed = hashed
       .select(col("rep"), col("n_docs"), col("hs"), signature(col("hs")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    minhashPairsFromSigned(signed, threshold, maxBucket)
+  }
+
+  /** LSH pipeline over an ALREADY-MATERIALIZED (checkpointed) frame
+    * carrying (`rep`, `n_docs`, `hs`, `sig`). The frame feeds four
+    * consumers (both sides of the band self-join and both verification
+    * sides); self-join sides get fresh attribute ids
+    * (DeduplicateRelations) and AQE's stage-reuse cache does not
+    * collapse these subtrees, so the caller-side materialization is
+    * what keeps the shingling/signature pass from re-executing 4×
+    * (measured in round 2: 3/4 of the operator's wall-clock).
+    * Round-6: [[clusterLabels]] folds `sig` into its one groups
+    * checkpoint, so the former second materialization (a columnar
+    * persist of the same hs+sig data) is gone — one corpus-derived
+    * materialization instead of two.
+    */
+  def minhashPairsFromSigned(signed: DataFrame, threshold: Double = JaccardThreshold,
+      maxBucket: Long = MaxBucketSize): PairsCounted = {
     // band join: keys only, no arrays. Row-format localCheckpoint, NOT
     // persist — the columnar cache build of the two string columns runs
     // at ~10k rows/s/core (round-2 lesson #6) and inherits the input's
     // partitioning; checkpoint blocks are O(data) to write and
     // ContextCleaner-freed once unreferenced.
-    val bandsAll = sh.select(col("rep"), explode(bandKeys(col("sig"))).as("b"))
+    val bandsAll = signed.select(col("rep"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("rep"), col("b.band_id"), col("b.band_hash"))
       .localCheckpoint(true)
     val (bands, capped) = capBucketsCounted(bandsAll, Seq("band_id", "band_hash"), "minhash", maxBucket)
@@ -280,15 +289,14 @@ object Dedup {
       .where(col("rep_a") < col("rep_b"))
       .select("rep_a", "rep_b").distinct()
     // verification join: compact (rep, int-array, size) side, pairs only
-    val a = sh.select(col("rep").as("rep_a"), col("hs").as("hs_a"), col("n_docs").as("n_docs_a"))
-    val b = sh.select(col("rep").as("rep_b"), col("hs").as("hs_b"), col("n_docs").as("n_docs_b"))
+    val a = signed.select(col("rep").as("rep_a"), col("hs").as("hs_a"), col("n_docs").as("n_docs_a"))
+    val b = signed.select(col("rep").as("rep_b"), col("hs").as("hs_b"), col("n_docs").as("n_docs_b"))
     val verified = cand.join(a, "rep_a").join(b, "rep_b")
       .select(col("rep_a").as("url_a"), col("rep_b").as("url_b"),
         jaccard(col("hs_a"), col("hs_b")).as("jaccard"),
         col("n_docs_a"), col("n_docs_b"))
       .where(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    sh.unpersist()
     PairsCounted(verified.orderBy("url_a", "url_b"), capped)
   }
 
@@ -323,11 +331,27 @@ object Dedup {
     * [[minhashPairs]].
     */
   def simhashPairs(pages: DataFrame, maxHamming: Int = HammingThreshold,
-      maxBucket: Long = MaxBucketSize): DataFrame = {
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    simhashPairsFromHashes(
+      corpusGroups(pages)
+        .select(col("rep"), col("n_docs"), simhash(col("norm")).as("sh64")),
+      maxHamming, maxBucket)
+
+  /** [[simhashPairs]] over a [[clusterLabelsCounted]] groups frame that
+    * already carries `sh64` (built with `withSimhash = true`): the
+    * corpus-collapse scan and the per-token md5 hashing ran once,
+    * inside the shared groups materialization — this path re-reads the
+    * compact checkpoint instead of re-scanning the corpus.
+    */
+  def simhashPairsFromGroups(groups: DataFrame, maxHamming: Int = HammingThreshold,
+      maxBucket: Long = MaxBucketSize): DataFrame =
+    simhashPairsFromHashes(groups.select(col("rep"), col("n_docs"), col("sh64")),
+      maxHamming, maxBucket)
+
+  private def simhashPairsFromHashes(docs: DataFrame, maxHamming: Int,
+      maxBucket: Long): DataFrame = {
     // shared materialization barrier (see minhashPairs): `chunks` feeds
     // the bucket-size pass and both sides of the chunk self-join
-    val docs = corpusGroups(pages)
-      .select(col("rep"), col("n_docs"), simhash(col("norm")).as("sh64"))
     val chunksAll = docs.select(col("rep"), col("sh64"), col("n_docs"),
       explode(array((0 until SimhashChunks).map { c =>
         struct(lit(c).as("chunk_id"),
@@ -398,20 +422,36 @@ object Dedup {
     */
   def clusterLabelsCounted(pages: DataFrame,
       threshold: Double = JaccardThreshold,
-      unionFindMaxPairs: Long = UnionFindMaxPairs): LabelsResult = {
-    // ONE corpus-scale collapse scan: the checkpointed hashed groups
-    // feed the LSH pipeline, the singleton-cluster union, and the
-    // callers' size/total aggregates
+      unionFindMaxPairs: Long = UnionFindMaxPairs,
+      withSimhash: Boolean = false): LabelsResult = {
+    // ONE corpus-scale collapse scan AND one materialization: the
+    // checkpointed groups carry the hashed shingles, the minhash
+    // signature (computed here, in the same codegen stage — the stacked
+    // projection reuses `hs` without re-shingling) and, when requested,
+    // the 60-bit simhash — so the LSH pipeline, the singleton-cluster
+    // union, the callers' size/total aggregates AND the simhash-pair
+    // consumer all read this one checkpoint. Round-5 shape paid a
+    // second materialization (a columnar persist of hs+sig) plus, for
+    // simhash consumers, a whole second corpus scan.
+    val simCol = if (withSimhash) Seq(simhash(col("norm")).as("sh64")) else Nil
     val groups = corpusGroups(pages)
-      .select(col("fp"), col("rep"), col("n_docs"), hashedShingles(col("norm")).as("hs"))
+      .select(Seq(col("fp"), col("rep"), col("n_docs"),
+        hashedShingles(col("norm")).as("hs")) ++ simCol: _*)
+      // stacked projection: `sig` reads the `hs` attribute of the
+      // projection below (CollapseProject keeps non-cheap exprs
+      // single-evaluated), so shingles hash once per row
+      .withColumn("sig", signature(col("hs")))
       .localCheckpoint(true)
-    val pc = minhashPairsFromHashed(groups, threshold) // eager (checkpointed)
+    val pc = minhashPairsFromSigned(groups, threshold) // eager (checkpointed)
     val labels = Components.labels(
       pc.pairs.select(col("url_a"), col("url_b")), unionFindMaxPairs)
 
     // exact-dup groups with no near-dup edge form their own cluster
+    // (left_anti: both sides are already duplicate-free — reps are
+    // distinct across groups, labels carry one row per node — so the
+    // anti-join is `except` minus its two distinct passes)
     val dupReps = groups.where(col("n_docs") > 1).select(col("rep").as("node"))
-      .except(labels.select("node"))
+      .join(labels.select("node"), Seq("node"), "left_anti")
       .withColumn("label", col("node"))
     val allLabels = labels.select("node", "label").union(dupReps).localCheckpoint(true)
     LabelsResult(groups, allLabels, pc.pairs, pc.cappedBuckets)

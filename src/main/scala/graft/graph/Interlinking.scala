@@ -64,12 +64,16 @@ object Interlinking {
     */
   def hostNeighbors(pages: DataFrame,
       maxHostsPerFp: Long = MaxHostsPerFp): DataFrame = {
+    // row-format localCheckpoint, not the columnar MEMORY_AND_DISK
+    // persist (two string columns — the slow columnar-cache-build case
+    // from the dedup pipeline); three consumers read it (bucket-size
+    // pass + both self-join sides)
     val fpHost = pages.where(col("text").isNotNull)
       .select(norm(col("text")).as("n"), graft.checks.Referential.hostExpr.as("host"))
       .where(length(col("n")) > 0 && col("host") =!= "")
       .select(md5(col("n")).as("fp"), col("host"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val oversized = fpHost.groupBy("fp").agg(count(lit(1)).as("nh"))
       .where(col("nh") > maxHostsPerFp)
       .localCheckpoint(true)
@@ -78,16 +82,18 @@ object Interlinking {
       System.err.println(s"[graph] host interlink: dropped $nOver fingerprint(s) " +
         s"shared by more than $maxHostsPerFp hosts from edge generation")
     val kept = fpHost.join(broadcast(oversized.select("fp")), Seq("fp"), "left_anti")
+    // no distinct() pass on the edge list: collect_set deduplicates
+    // neighbors per host, and n_neighbors = the set's size — identical
+    // to counting pre-distinct'd edges, one whole shuffle cheaper
     val edges = kept.select(col("fp"), col("host"))
       .join(kept.select(col("fp"), col("host").as("nbr")), "fp")
       .where(col("host") =!= col("nbr"))
-      .select("host", "nbr").distinct()
-    val out = edges.groupBy("host")
-      .agg(count(lit(1)).as("n_neighbors"),
-        array_join(array_sort(collect_set(col("nbr"))), ",").as("neighbors"))
+      .select("host", "nbr")
+    edges.groupBy("host")
+      .agg(collect_set(col("nbr")).as("nbrs"))
+      .select(col("host"), size(col("nbrs")).cast("long").as("n_neighbors"),
+        array_join(array_sort(col("nbrs")), ",").as("neighbors"))
       .orderBy("host")
       .localCheckpoint(true)
-    fpHost.unpersist()
-    out
   }
 }

@@ -186,9 +186,17 @@ class CheckSuite(spark: SparkSession, tableRoot: String) {
         // checkpoint (key spaces are disjoint across families, so
         // per-family capping is exact): on a duplicate-heavy corpus the
         // uncapped listing is corpus-scale, and materializing it just to
-        // throw most of it away at write time stored corpus-scale blocks
+        // throw most of it away at write time stored corpus-scale blocks.
+        // Single-key cap (not the windowed capViolations): a family
+        // listing has ONE (check_id, pday) pair, both literals — the
+        // optimizer folds literal partition keys out of the window spec,
+        // so the round-5 plans ran a GLOBAL single-partition window
+        // (sort of the whole listing in one task — the exact straggler
+        // the salted two-phase was built to avoid). sort+limit plans as
+        // a distributed top-k instead: a bounded heap per partition, one
+        // merge of ≤ cap·partitions pre-limited rows.
         def cappedSnap(df: DataFrame): DataFrame =
-          snap(CheckSuite.capViolations(df, CheckSuite.MaxViolationRows))
+          snap(CheckSuite.capViolationsSingleKey(df, CheckSuite.MaxViolationRows))
         // raw corpus: read ONLY by the near-dup shingling pipeline
         // (which needs the text bytes); every other family reads atoms
         val full = PageTable.read(spark, tableRoot).drop("pday")
@@ -538,6 +546,24 @@ object CheckSuite {
 
   /** Salt fan-out for the capped-listing rank. */
   private val CapSalts = 64
+
+  /** Deterministically keep the first `cap` violations of a listing
+    * whose (check_id, pday) is a SINGLE literal pair — every whole-table
+    * family listing. sort+limit is planned as TakeOrderedAndProject
+    * (given the fallback threshold below): each partition keeps a
+    * `cap`-bounded heap, one task merges the ≤ cap·partitions
+    * survivors — no full sort, no salted two-phase, and no global
+    * window (which is what [[capViolations]] degenerates into here
+    * once the optimizer folds the literal partition keys away).
+    */
+  def capViolationsSingleKey(viol: DataFrame, cap: Int): DataFrame = {
+    // sort+limit only plans as top-k below this threshold (default
+    // 10000); raise it so the 100k cap stays a bounded-heap top-k
+    // instead of a full sort + single-partition global limit
+    viol.sparkSession.conf.set(
+      "spark.sql.execution.topKSortFallbackThreshold", (cap * 2).toString)
+    viol.orderBy(col("url"), col("detail")).limit(cap)
+  }
 
   /** Deterministically keep the first `cap` violations per (check_id,
     * pday) in (url, detail) order. Two-phase: rank within (check, pday,

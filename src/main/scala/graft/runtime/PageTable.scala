@@ -25,13 +25,33 @@ import graft.checks.FusedChecks
   */
 object PageTable {
 
-  /** Files per day partition. One file per day (round 1) capped write
-    * parallelism at #days and made each file ~2 TB at 10^12 rows; k
-    * url-hash buckets per day bound file size to rows/(days·k) and give
-    * the writer days·k-way parallelism, while keeping day co-location
-    * for partition pruning.
+  /** Target on-disk bytes per data file. Guide §6: aim for output
+    * files in the 128 MB – 1 GB range — small files cost listing time
+    * on the driver and per-file open overhead on executors; huge files
+    * cap scan parallelism.
     */
-  val FilesPerDay = 8
+  val TargetFileBytes: Long = 128L << 20
+
+  /** Upper bound on url-hash buckets per day (write parallelism =
+    * days·buckets tasks; 4096 buckets × 47 days ≈ 190k files — beyond
+    * any input this engine meets in one table).
+    */
+  val MaxFilesPerDay = 4096L
+
+  /** Buckets per day derived from the input's estimated size (guide §2:
+    * partitioning must be scale-adaptive, not a constant tuned for one
+    * deployment). One file per day (round 1) capped write parallelism
+    * at #days and made each file ~2 TB at 10^12 rows; the round-5 fixed
+    * 8 buckets/day produced 376 ~13 KB files at sf0.1 and would produce
+    * ~270 GB files at 100 TB. Deriving k from the optimizer's size
+    * estimate keeps files near [[TargetFileBytes]] at every scale.
+    */
+  def filesPerDay(pages: DataFrame, days: Int): Long = {
+    val est = pages.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perDay =
+      if (est.isValidLong) est.toLong / days / TargetFileBytes else MaxFilesPerDay
+    math.max(1L, math.min(MaxFilesPerDay, perDay))
+  }
 
   /** Write the page table partitioned by day. Dynamic partition
     * overwrite keeps re-writes idempotent per partition.
@@ -40,10 +60,11 @@ object PageTable {
     val spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val days = graft.synth.PageSynth.Days + 2 // + 'null' + out-of-range days
+    val k = filesPerDay(pages, days)
     pages
       .withColumn("pday", FusedChecks.pday)
-      .withColumn("bucket", pmod(xxhash64(col("url")), lit(FilesPerDay)))
-      .repartition(days * FilesPerDay, col("pday"), col("bucket"))
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(k)))
+      .repartition((days * k).toInt, col("pday"), col("bucket"))
       .drop("bucket")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("pday")

@@ -184,11 +184,21 @@ object PageSynth {
       .withColumn("warc_ts", col("warc_epoch").cast("timestamp"))
   }
 
+  /** Analyzed-plan memo for [[pagesWithMeta]]: the synthesis SELECT is
+    * a large tree that every harness query re-parsed and re-analyzed
+    * (~0.1–0.3 s of serial driver time each). The memo holds the
+    * *unexecuted* DataFrame — a plan object, no data; every action
+    * still computes from the parquet input.
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Full page table incl. synthesis metadata (doc_id, host, pday,
     * warc_epoch) — used by tests and oracle-parity harness.
     */
   def pagesWithMeta(spark: SparkSession, sfDir: String): DataFrame =
-    pagesFromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+    planCache.computeIfAbsent((spark, sfDir),
+      _ => pagesFromDocs(spark.read.parquet(s"$sfDir/documents.parquet")))
 
   /** Deterministically replicated corpus for benchmarking: documents
     * crossed with a replica index, re-keyed doc_id = rep·N + doc_id so
