@@ -69,6 +69,17 @@ object ProfileSuite {
     t("serial_formats")(Formats.verdictRowFromAtoms(atoms, Formats.formatDim(spark)).count())
     t("vocab_used_terms")(Vocabulary.usedTermsFrame(atoms).count())
     t("viol_uniq")(Uniqueness.violations(atoms, ordered = false).count())
+    t("neardup_labels") {
+      val r = graft.dedup.Dedup.clusterLabelsCounted(pages)
+      val sizes = graft.dedup.Dedup.clusterSizesFrom(r.groups, r.labels)
+      CheckSuite.nearDupVerdict(r.groups, sizes).count()
+    }
+    t("batchviol_cap") {
+      CheckSuite.capViolations(
+        FusedChecks.violationsFromMasks(atoms, allPreds, ordered = false)
+          .unionByName(Completeness.missingLangMembers(atoms, dims.langDim)),
+        CheckSuite.MaxViolationRows).count()
+    }
     t("viol_cap_write")(
       CheckSuite.capViolations(
         FusedChecks.violationsFromMasks(atoms, allPreds, ordered = false)

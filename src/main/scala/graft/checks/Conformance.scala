@@ -242,5 +242,14 @@ object FusedChecks {
     */
   def violations(pages: DataFrame, preds: Seq[Pred] = Conformance.preds,
       ordered: Boolean = true): DataFrame =
-    violationsFromMasks(maskFrame(pages, preds), preds, ordered)
+    if (!ordered) violationsFromMasks(maskFrame(pages, preds), preds, ordered = false)
+    else
+      // materialize the (defect-rate-bounded) unordered listing, then
+      // sort the compact result: a range-partitioned sort executes its
+      // child twice (sampling + shuffle), and here the child is the
+      // corpus-scale mask+explode stage — the lazy spelling paid the
+      // whole scan twice for a listing a fraction of its size
+      violationsFromMasks(maskFrame(pages, preds), preds, ordered = false)
+        .localCheckpoint(true)
+        .orderBy("check_id", "url", "pday", "detail")
 }

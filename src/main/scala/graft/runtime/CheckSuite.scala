@@ -566,23 +566,43 @@ object CheckSuite {
   }
 
   /** Deterministically keep the first `cap` violations per (check_id,
-    * pday) in (url, detail) order. Two-phase: rank within (check, pday,
-    * salt) — every sort group is ~1/64 of the listing — then rank the
-    * ≤ 64·cap survivors. The per-salt top-cap union contains the global
-    * top-cap, so the result is exact.
+    * pday) in (url, detail) order.
+    *
+    * Cheap pre-pass first: per-key counts (bounded by the check×day key
+    * space, so the collect is tiny) decide whether any listing exceeds
+    * the cap at all. In the common case none does, and the answer is
+    * the input unchanged — the round-5 spelling paid two full
+    * shuffles+sorts of every violation row to keep 100% of them.
+    * When keys do overflow, only THEIR rows go through the two-phase
+    * rank (rank within (check, pday, salt) — every sort group is ~1/64
+    * of the listing — then rank the ≤ 64·cap survivors; the per-salt
+    * top-cap union contains the global top-cap, so the result is
+    * exact); rows of under-cap keys pass through untouched.
     */
   def capViolations(viol: DataFrame, cap: Int): DataFrame = {
-    val w1 = Window.partitionBy(col("check_id"), col("pday"),
-        pmod(xxhash64(col("url"), col("detail")), lit(CapSalts.toLong)))
-      .orderBy(col("url"), col("detail"))
-    val w2 = Window.partitionBy(col("check_id"), col("pday"))
-      .orderBy(col("url"), col("detail"))
-    viol
-      .withColumn("r1", row_number().over(w1))
-      .where(col("r1") <= cap)
-      .withColumn("r2", row_number().over(w2))
-      .where(col("r2") <= cap)
-      .drop("r1", "r2")
+    val over = viol.groupBy(col("check_id"), col("pday"))
+      .agg(count(lit(1)).as("vn")).where(col("vn") > cap)
+      .select("check_id", "pday").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    if (over.isEmpty) viol
+    else {
+      // key-membership test as one isin over a joined key (bounded by
+      // the check×day key space; '\\u0001' appears in neither component)
+      val key = concat_ws("\u0001", col("check_id"), col("pday"))
+      val isOver = key.isin(over.toSeq.map { case (c, p) => s"$c\u0001$p" }: _*)
+      val w1 = Window.partitionBy(col("check_id"), col("pday"),
+          pmod(xxhash64(col("url"), col("detail")), lit(CapSalts.toLong)))
+        .orderBy(col("url"), col("detail"))
+      val w2 = Window.partitionBy(col("check_id"), col("pday"))
+        .orderBy(col("url"), col("detail"))
+      val capped = viol.where(isOver)
+        .withColumn("r1", row_number().over(w1))
+        .where(col("r1") <= cap)
+        .withColumn("r2", row_number().over(w2))
+        .where(col("r2") <= cap)
+        .drop("r1", "r2")
+      viol.where(!isOver).unionByName(capped)
+    }
   }
 
   /** Whole-table exact-duplicate-text verdict (#1

@@ -47,7 +47,11 @@ object PageTable {
     * estimate keeps files near [[TargetFileBytes]] at every scale.
     */
   def filesPerDay(pages: DataFrame, days: Int): Long = {
-    val est = pages.queryExecution.optimizedPlan.stats.sizeInBytes
+    // analyzed-plan stats, not optimizedPlan: both give the same
+    // size-only leaf estimate, but optimizedPlan runs the whole
+    // optimizer over the (large) synthesis tree a second time just for
+    // this heuristic
+    val est = pages.queryExecution.analyzed.stats.sizeInBytes
     val perDay =
       if (est.isValidLong) est.toLong / days / TargetFileBytes else MaxFilesPerDay
     math.max(1L, math.min(MaxFilesPerDay, perDay))
