@@ -241,15 +241,42 @@ object FusedChecks {
     * suite's parquet violation log, must not pay for it).
     */
   def violations(pages: DataFrame, preds: Seq[Pred] = Conformance.preds,
-      ordered: Boolean = true): DataFrame =
-    if (!ordered) violationsFromMasks(maskFrame(pages, preds), preds, ordered = false)
-    else
-      // materialize the (defect-rate-bounded) unordered listing, then
-      // sort the compact result: a range-partitioned sort executes its
-      // child twice (sampling + shuffle), and here the child is the
-      // corpus-scale mask+explode stage — the lazy spelling paid the
-      // whole scan twice for a listing a fraction of its size
-      violationsFromMasks(maskFrame(pages, preds), preds, ordered = false)
-        .localCheckpoint(true)
-        .orderBy("check_id", "url", "pday", "detail")
+      ordered: Boolean = true): DataFrame = {
+    // Split the plan at the selective `__bm != 0` filter with a narrow,
+    // defect-rate-bounded checkpoint. Two reasons:
+    //  1. codegen: fused into ONE whole-stage span, the 23-pred mask
+    //     bank + the 23-way detail-struct explode generate an 18.6k-line
+    //     class whose processNext exceeds Janino's 64 KB method limit —
+    //     the span silently fell back to interpreted eval AND re-ran
+    //     the failing 18k-line compile on every execution (`ERROR
+    //     CodeGenerator: ... Code grows beyond 64 KB` in every round-5
+    //     bench log). Each half compiles fine on its own (the mask half
+    //     is fused_results' span; the explode half is the suite's
+    //     atoms-side span).
+    //  2. the ordered spelling's range-partitioned sort executes its
+    //     child twice (sampling + shuffle); after the checkpoint the
+    //     child is a cheap explode of flagged narrow rows, not the
+    //     corpus-scale mask scan.
+    // The checkpoint holds only flagged rows with the payload columns
+    // (text/html) dropped — details reference url/lang/warc_ts-class
+    // columns only.
+    val narrowPlan = maskFrame(pages, preds)
+      .where(col("__bm") =!= 0L)
+      .select(col("pday"), col("url"), col("lang"), col("warc_ts"), col("__bm"))
+    // Materialize with whole-stage codegen OFF for this one plan: fused,
+    // the synthesis CASE pyramid + the pred bank + the filter form a
+    // single consume chain over the vectorized scan's currentVars, where
+    // codegen cannot split methods — the result is a >64 KB processNext
+    // that Janino rejects, a ~1.5 s failed compile, and a silent
+    // per-operator fallback on EVERY execution (present in every
+    // round-5 bench log). Per-operator codegen compiles the same
+    // expressions split across operators and runs them compiled.
+    val spark = pages.sparkSession
+    val wscgKey = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(wscgKey)
+    val narrow =
+      try { spark.conf.set(wscgKey, "false"); narrowPlan.localCheckpoint(true) }
+      finally spark.conf.set(wscgKey, prev)
+    violationsFromMasks(narrow, preds, ordered)
+  }
 }
