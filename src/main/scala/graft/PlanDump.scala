@@ -43,9 +43,14 @@ object PlanDump {
     spark.listenerManager.register(listener)
 
     names.foreach { n =>
-      buf.clear()
+      // listener events fire asynchronously on the listener bus: drain
+      // before clearing (so the previous query's late events don't leak
+      // into this file) and again before snapshotting
+      Thread.sleep(3000)
+      buf.synchronized(buf.clear())
       val df = SparkEntry.queries(n)(spark, sfDir)
-      val internal = buf.toString
+      Thread.sleep(3000)
+      val internal = buf.synchronized(buf.toString)
       val top = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val txt = s"== query: $n ==\n== returned frame plan ==\n$top\n$internal"

@@ -25,9 +25,16 @@ export GRAFT_JAVA_OPTS="-Xms${SPARK_DRIVER_MEM} -XX:+AlwaysPreTouch -XX:+UseTran
 export GRAFT_CLASSES=$(mktemp -d /tmp/graft_classes.XXXX)
 cp -r target/scala-2.13/classes/* "$GRAFT_CLASSES/"
 trap 'rm -rf "$GRAFT_CLASSES"' EXIT
+# stderr goes to a log, not /dev/null: the round-5 sweep died twice and
+# the suppressed stderr made the deaths undiagnosable (round-5 verdict)
+SWEEP_LOG=${SWEEP_LOG:-BENCH/sweep_stderr.log}
+: > "$SWEEP_LOG"
 python3 tools/spin_calibrate.py 4 8 16 32 | tail -1
-bash tools/run_main.sh ScalingBench build 2>/dev/null | grep '\[scaling\]'
+# versioned calibration snapshot (round-5 advice: overwriting the file
+# in place desyncs committed data from previously published reports)
+[ -n "$SPIN_SNAPSHOT" ] && cp BENCH/spin_ceiling.json "BENCH/$SPIN_SNAPSHOT"
+bash tools/run_main.sh ScalingBench build 2>>"$SWEEP_LOG" | grep '\[scaling\]'
 for N in 4 8 16 32; do
-  taskset -c 0-$((N - 1)) bash tools/run_main.sh ScalingBench measure $N 2>/dev/null | grep '\[scaling\]'
+  taskset -c 0-$((N - 1)) bash tools/run_main.sh ScalingBench measure $N 2>>"$SWEEP_LOG" | grep '\[scaling\]'
 done
-bash tools/run_main.sh ScalingBench report 4 16 2>/dev/null
+bash tools/run_main.sh ScalingBench report 4 16 2>>"$SWEEP_LOG"
