@@ -30,12 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dedup intermediates + 32 concurrent task buffers (the container has
   // 128 GiB; -Xmx is a cap, not a reservation)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // this VM's anonymous-page first-touch fault path runs at ~15 MB/s
-  // per thread without THP and ~73 MB/s with (measured for the scaling
-  // sweep, tools/scaling_bench_full.sh) — lazily-grown heap pages
-  // otherwise charge minutes of randomly-placed fault tax to whichever
-  // queries happen to grow the heap. madvise-mode THP is enabled on the
-  // host; a pre-sized initial heap keeps G1 from stepwise regrowth.
-  "-XX:+UseTransparentHugePages",
+  // pre-sized initial heap: keeps G1 from stepwise regrowth and bounds
+  // the first-touch fault tax this VM charges to whichever query grows
+  // the heap (~15 MB/s/thread fault path). THP was A/B-tested and
+  // REJECTED here: it speeds first-touch 5x but its fault-time
+  // compaction stalls cost the allocation-heavy dedup pipeline ~2x
+  // (dedup_cluster_sizes 8.8 s without THP vs ~20 s with, full-bench
+  // totals 66 s vs 78 s on the optimized code).
   "-Xms8g",
 )

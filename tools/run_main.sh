@@ -21,9 +21,7 @@ if [ -z "$GRAFT_CLASSES" ]; then
 fi
 # java runs as a child (no exec): the EXIT trap must fire to delete the
 # classpath snapshot — exec would replace the shell and leak it
-# THP (madvise mode): the VM's first-touch fault path is ~5x faster with
-# huge pages — same rationale as build.sbt's javaOptions
-java $ADD_OPENS -XX:+UseTransparentHugePages $GRAFT_JAVA_OPTS \
+java $ADD_OPENS $GRAFT_JAVA_OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "$GRAFT_CLASSES:/opt/spark/jars/*" "graft.$MAIN" "$@"
